@@ -1,0 +1,305 @@
+"""Configuration tree for the TPU-native Otter framework.
+
+One dataclass/JSON config system replaces the reference's four config
+mechanisms (argparse flags, HF PretrainedConfig composition, data YAML,
+Accelerate/DeepSpeed YAML) — see reference
+`src/otter_ai/models/otter/configuration_otter.py:15-97` and SURVEY.md §5.
+
+Configs are plain frozen dataclasses so they can be passed as static
+arguments to jitted functions and hashed by the JAX tracing cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _JsonMixin:
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        known = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in known:
+                continue
+            f = known[k]
+            # Recursively build nested config dataclasses.
+            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
+                kwargs[k] = f.type.from_dict(v)
+            else:
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class VisionConfig(_JsonMixin):
+    """CLIP ViT vision tower config.
+
+    Defaults are CLIP ViT-L/14 as used by the reference
+    (`src/otter_ai/models/flamingo/flamingo-mpt-7B.json` vision_config:
+    hidden 1024, 24 layers, 16 heads, patch 14, image 224, quick_gelu).
+    """
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class PerceiverConfig(_JsonMixin):
+    """PerceiverResampler config (reference `modeling_otter.py:187-235`)."""
+
+    dim: int = 1024
+    depth: int = 6
+    dim_head: int = 64
+    heads: int = 8
+    num_latents: int = 64
+    ff_mult: int = 4
+    max_num_media: Optional[int] = None   # media-time embeddings if set
+    max_num_frames: Optional[int] = None  # frame embeddings if set (video models)
+
+
+@dataclass(frozen=True)
+class TextConfig(_JsonMixin):
+    """Decoder-only LM backbone config.
+
+    `arch` selects the family:
+      - "mpt":       ALiBi, LPLayerNorm, fused QKV, tied embeddings, GELU MLP
+                     (reference `src/otter_ai/models/mpt/`)
+      - "llama":     RoPE, RMSNorm, SwiGLU MLP, untied lm_head
+                     (reference `xformers_model/llama.py`)
+      - "falcon":    rotary + fused-qkv multiquery (reference `falcon/modelling_RW.py`)
+      - "mosaic_gpt": older MPT variant (reference `mpt_redpajama/`)
+      - "persimmon": partial rotary, QK-LN, squared-ReLU MLP
+                     (reference `fuyu/modeling_persimmon.py`)
+    """
+
+    arch: str = "mpt"
+    vocab_size: int = 50432
+    hidden_size: int = 4096
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_kv_heads: Optional[int] = None   # None -> == num_attention_heads; 1 -> multiquery
+    intermediate_size: Optional[int] = None  # None -> arch default (4*d or llama 11008)
+    max_seq_len: int = 2048
+    # positional scheme: "alibi" | "rope" | "learned"
+    pos: str = "alibi"
+    alibi_bias_max: float = 8.0
+    rope_theta: float = 10000.0
+    rope_partial_factor: float = 1.0  # persimmon uses partial rotary (e.g. 0.5)
+    # norms
+    norm_type: str = "low_precision_layernorm"  # | "rmsnorm" | "layernorm"
+    norm_eps: float = 1e-5
+    qk_ln: bool = False
+    # misc
+    tie_embeddings: bool = True        # MPT ties lm_head to wte
+    no_bias: bool = True               # MPT-7B removes all biases
+    clip_qkv: Optional[float] = None
+    logit_scale: Optional[float] = None
+    act: str = "gelu"                  # "gelu" | "silu_glu" | "sq_relu"
+    # extra rows appended to the embedding for special tokens (<image>, <answer>,
+    # <|endofchunk|>, <PAD>); reference resizes llama embeddings
+    # (`modeling_otter.py:573-575`).
+    extra_vocab: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_attention_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        if self.intermediate_size is not None:
+            return self.intermediate_size
+        if self.act == "silu_glu":
+            return 11008
+        return 4 * self.hidden_size
+
+    @property
+    def total_vocab(self) -> int:
+        return self.vocab_size + self.extra_vocab
+
+
+@dataclass(frozen=True)
+class OtterConfig(_JsonMixin):
+    """Composite VLM config (reference `configuration_otter.py:15-97`).
+
+    `cross_attn_every_n_layers` default 4 matches the reference presets.
+    """
+
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    perceiver: PerceiverConfig = field(default_factory=PerceiverConfig)
+    cross_attn_every_n_layers: int = 4
+    only_attend_immediate_media: bool = True
+    use_media_placement_augmentation: bool = False  # Flamingo-style training aug
+    xattn_dim_head: int = 64
+    xattn_heads: int = 8
+    xattn_ff_mult: int = 4
+    # token ids are model-checkpoint properties resolved by the tokenizer adapter
+    media_token_id: int = 50278
+    eoc_token_id: int = 50277   # <|endofchunk|>
+    answer_token_id: Optional[int] = None
+
+    @classmethod
+    def tiny(cls, arch: str = "mpt") -> "OtterConfig":
+        """Small config for tests: 2 decoder layers, xattn every 2."""
+        return cls(
+            vision=VisionConfig(
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, image_size=28, patch_size=14),
+            text=TextConfig(
+                arch=arch, vocab_size=256, hidden_size=64,
+                num_hidden_layers=4, num_attention_heads=4, max_seq_len=128,
+                pos="alibi" if arch == "mpt" else "rope",
+                norm_type="low_precision_layernorm" if arch == "mpt" else "rmsnorm",
+                act="gelu" if arch == "mpt" else "silu_glu",
+                intermediate_size=128,
+                tie_embeddings=(arch == "mpt"), no_bias=(arch == "mpt")),
+            perceiver=PerceiverConfig(dim=64, depth=2, dim_head=16, heads=4,
+                                      num_latents=8, max_num_frames=8),
+            cross_attn_every_n_layers=2,
+            xattn_dim_head=16, xattn_heads=4,
+            media_token_id=253, eoc_token_id=252, answer_token_id=251,
+        )
+
+
+def otter_mpt7b() -> OtterConfig:
+    """OTTER-Image-MPT7B (reference `flamingo/flamingo-mpt-7B.json`)."""
+    return OtterConfig(
+        vision=VisionConfig(),
+        text=TextConfig(arch="mpt", vocab_size=50432, hidden_size=4096,
+                        num_hidden_layers=32, num_attention_heads=32,
+                        max_seq_len=2048, pos="alibi",
+                        norm_type="low_precision_layernorm", act="gelu",
+                        tie_embeddings=True, no_bias=True),
+        perceiver=PerceiverConfig(dim=1024, max_num_frames=None),
+        cross_attn_every_n_layers=4,
+        media_token_id=50278, eoc_token_id=50277,
+    )
+
+
+def otter_llama7b_video(max_num_frames: int = 128) -> OtterConfig:
+    """OTTER-Video-LLaMA7B-DenseCaption."""
+    return OtterConfig(
+        vision=VisionConfig(),
+        text=TextConfig(arch="llama", vocab_size=32000, extra_vocab=4,
+                        hidden_size=4096, num_hidden_layers=32,
+                        num_attention_heads=32, intermediate_size=11008,
+                        max_seq_len=2048, pos="rope", norm_type="rmsnorm",
+                        norm_eps=1e-6, act="silu_glu", tie_embeddings=False,
+                        no_bias=True),
+        perceiver=PerceiverConfig(dim=1024, max_num_frames=max_num_frames),
+        cross_attn_every_n_layers=4,
+        media_token_id=32001, eoc_token_id=32002,
+    )
+
+
+@dataclass(frozen=True)
+class FuyuConfig(_JsonMixin):
+    """Fuyu/OtterHD: encoder-free VLM (reference `fuyu/modeling_fuyu.py:19`).
+
+    Variable-resolution image patches are linearly projected into the token
+    stream of a Persimmon-8B decoder.
+    """
+
+    text: TextConfig = field(default_factory=lambda: TextConfig(
+        arch="persimmon", vocab_size=262144, hidden_size=4096,
+        num_hidden_layers=36, num_attention_heads=64, intermediate_size=16384,
+        max_seq_len=16384, pos="rope", rope_theta=25000.0,
+        rope_partial_factor=0.5, norm_type="layernorm", qk_ln=True,
+        act="sq_relu", tie_embeddings=False, no_bias=False))
+    patch_size: int = 30
+    num_channels: int = 3
+    # resolution buckets (H, W) in patches used to keep jit shapes finite
+    max_image_height: int = 1080
+    max_image_width: int = 1920
+    image_newline_id: int = 71019
+    image_placeholder_id: int = 71011
+
+    @classmethod
+    def tiny(cls) -> "FuyuConfig":
+        return cls(
+            text=TextConfig(arch="persimmon", vocab_size=512, hidden_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=256, max_seq_len=256, pos="rope",
+                            rope_partial_factor=0.5, norm_type="layernorm",
+                            qk_ln=True, act="sq_relu", tie_embeddings=False,
+                            no_bias=False),
+            patch_size=4, max_image_height=16, max_image_width=16,
+            image_newline_id=509, image_placeholder_id=508)
+
+
+@dataclass(frozen=True)
+class ParallelConfig(_JsonMixin):
+    """Mesh/sharding config replacing Accelerate/DeepSpeed YAML (SURVEY.md §2 P2).
+
+    dp × fsdp × tp must equal the device count. ZeRO-3 ≡ fsdp>1;
+    DDP ≡ dp>1; tensor-parallel serving ≡ tp>1.
+    """
+
+    dp: int = 1
+    fsdp: int = -1   # -1: all remaining devices
+    tp: int = 1
+    # dtype policy
+    param_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"
+    # gradient accumulation / checkpointing
+    grad_accum_steps: int = 1
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class GenerationConfig(_JsonMixin):
+    """Decode-loop config mirroring the HF `generate_kwargs` surface used by the
+    reference serving/demos (`model_worker.py:222-250`, `gradio_web_server.py:361`).
+    """
+
+    max_new_tokens: int = 512
+    do_sample: bool = False
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+    early_stopping: bool = True
+    eos_token_id: Optional[int] = None
+    pad_token_id: int = 0
+
+
+def load_config(path: str) -> OtterConfig:
+    with open(path) as f:
+        return OtterConfig.from_dict(json.load(f))

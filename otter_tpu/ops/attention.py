@@ -1,0 +1,56 @@
+"""Attention dispatcher: Pallas kernel on TPU, jnp reference elsewhere.
+
+The models call this single entry point; it replaces the reference's
+`attn_config["attn_impl"]` torch/flash/triton selection
+(`src/otter_ai/models/mpt/attention.py:22-222`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from otter_tpu.ops import attention_ref, flash_attention as fa
+from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
+
+
+def _default_impl() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "ref"
+
+
+def multi_head_attention(
+    q: jnp.ndarray,                      # [B, H, S_q, D]
+    k: jnp.ndarray,                      # [B, H_kv, S_k, D]
+    v: jnp.ndarray,                      # [B, H_kv, S_k, D]
+    *,
+    bias: Optional[jnp.ndarray] = None,  # [B|1, H|1, S_q|1, S_k] additive
+    q_ids: Optional[jnp.ndarray] = None,   # int32 [B, S_q]
+    kv_ids: Optional[jnp.ndarray] = None,  # int32 [B, S_k]
+    ids_mode: str = "eq",
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    impl = impl or _default_impl()
+    h, h_kv = q.shape[1], k.shape[1]
+    if h_kv != h:  # MQA/GQA: replicate kv heads (falcon multiquery)
+        k = jnp.repeat(k, h // h_kv, axis=1)
+        v = jnp.repeat(v, h // h_kv, axis=1)
+
+    if impl == "pallas":
+        return fa.flash_attention(
+            q, k, v, bias, q_ids, kv_ids, causal=causal, sm_scale=sm_scale,
+            ids_mode=ids_mode, interpret=interpret)
+    elif impl == "ref":
+        mask = None
+        if q_ids is not None:
+            qi = q_ids[:, None, :, None].astype(jnp.int32)
+            ki = kv_ids[:, None, None, :].astype(jnp.int32)
+            mask = (qi == ki) if ids_mode == "eq" else (qi >= ki)
+        return attention_ref.mha_reference(
+            q, k, v, bias=bias, mask=mask, causal=causal, sm_scale=sm_scale,
+            mask_value=DEFAULT_MASK_VALUE)
+    raise ValueError(f"unknown attention impl {impl!r}")

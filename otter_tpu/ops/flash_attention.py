@@ -1,0 +1,650 @@
+"""Pallas TPU flash-attention kernel family.
+
+TPU-native replacement for the reference's four attention backends
+(`src/otter_ai/models/mpt/flash_attn_triton.py:57-1014` Triton kernel,
+flash-attn CUDA, xformers `memory_efficient_attention`, and the torch
+fallback `mpt/attention.py:22-84`). One kernel covers:
+
+  - causal self-attention (decoder)
+  - additive bias (ALiBi `mpt/attention.py:457-464`; arbitrary biases)
+  - integer-id masks compared per (q, kv) pair:
+      mode "eq": segment-id padding masks, and the Flamingo
+                 only-attend-immediate-media mask
+      mode "ge": the attend-all-previous-media mask
+    (re-deriving `modeling_otter.py:296-330` as an id comparison instead of a
+    materialized (S_q, S_kv) mask)
+  - non-causal (ViT / perceiver) attention
+  - fwd + bwd (custom VJP, separate dKV and dQ kernels, LSE residuals)
+
+Design follows the blockwise online-softmax scheme of JAX's reference TPU
+flash attention (jax.experimental.pallas.ops.tpu.flash_attention): f32
+softmax statistics in VMEM scratch, lane-replicated LSE residuals, causal
+tile skipping, transposes folded into MXU dot_generals in the backward pass.
+
+Bias gradients are NOT computed (all biases in this framework — ALiBi,
+padding, media masks — are non-trainable); the VJP returns zeros for bias.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
+
+NUM_LANES = 128
+NUM_SUBLANES = 8
+# kv-id value that matches nothing under "eq" or "ge" against any real q id.
+PAD_ID = jnp.iinfo(jnp.int32).max // 2
+
+
+class BlockSizes(NamedTuple):
+    # defaults from a v5e sweep (bench: 31 TFLOP/s fwd @ b4 h32 s2048 d128)
+    block_q: int = 1024
+    block_k: int = 1024
+    block_q_dkv: int = 512
+    block_k_dkv: int = 512
+    block_q_dq: int = 512
+    block_k_dq: int = 512
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _fit_block(pref: int, n: int) -> int:
+    """Largest power-of-two block <= pref that divides n (n is a multiple of
+    MIN 128, so 128 always fits)."""
+    b = min(pref, n)
+    while n % b != 0:
+        b //= 2
+    return max(b, 1)
+
+
+def _id_mask(q_ids, kv_ids, ids_mode: str):
+    """q_ids: [bq, 1] col, kv_ids: [1, bk] row -> bool [bq, bk] (True=attend)."""
+    if ids_mode == "eq":
+        return q_ids == kv_ids
+    elif ids_mode == "ge":
+        return q_ids >= kv_ids
+    raise ValueError(f"ids_mode={ids_mode}")
+
+
+# ─────────────────────────────── forward ───────────────────────────────
+
+
+def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
+                has_bias: bool, has_ids: bool, bcast_bias_q: bool,
+                mask_value: float, num_kv_blocks: int,
+                block_q: int, block_k: int):
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    q_ids_ref = next(it) if has_ids else None
+    kv_ids_ref = next(it) if has_ids else None
+    o_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)
+    l_scr = next(it)
+    acc_scr = next(it)
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if causal:
+        # run only if some q position >= first k position of this tile
+        should_run = ((qi + 1) * block_q - 1) >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0, 0]                       # [bq, d]
+        k = k_ref[0, 0]                       # [bk, d]
+        s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bk]
+        if sm_scale != 1.0:
+            s *= sm_scale
+        if has_bias:
+            b = bias_ref[0, 0]                # [bq|1, bk]
+            s += b.astype(jnp.float32)
+
+        mask = None
+        if has_ids:
+            qids = q_ids_ref[0][:, :1]        # [bq, 1]
+            kids = kv_ids_ref[0][:1, :]       # [1, bk]
+            mask = _id_mask(qids, kids, ids_mode)
+        if causal:
+            rows = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            cols = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+                + ki * block_k
+            cmask = cols <= rows
+            mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+        if mask is not None:
+            s = jnp.where(mask, s, mask_value)
+
+        m_prev = m_scr[...]                   # [bq, 128] lane-replicated
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)       # [bq, 1]
+        m_next = jnp.maximum(m_prev, lax.broadcast_in_dim(
+            m_curr, (block_q, NUM_LANES), (0, 1)))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - lax.broadcast_in_dim(
+            m_next[:, :1], (block_q, block_k), (0, 1)))
+        l_curr = jnp.sum(p, axis=1, keepdims=True)       # [bq, 1]
+        l_next = alpha * l_prev + lax.broadcast_in_dim(
+            l_curr, (block_q, NUM_LANES), (0, 1))
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        d = q.shape[-1]
+        v = v_ref[0, 0]
+        o_curr = lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * lax.broadcast_in_dim(
+            alpha[:, :1], (block_q, d), (0, 1)) + o_curr
+
+    if causal:
+        last_k = jnp.minimum(num_kv_blocks - 1,
+                             ((qi + 1) * block_q - 1) // block_k)
+    else:
+        last_k = num_kv_blocks - 1
+
+    @pl.when(ki == last_k)
+    def _store():
+        d = o_ref.shape[-1]
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * lax.broadcast_in_dim(
+            l_inv[:, :1], (block_q, d), (0, 1))).astype(o_ref.dtype)
+        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+
+
+def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
+         block_sizes: BlockSizes, mask_value, interpret):
+    batch, heads, s_q, d = q.shape
+    s_k = k.shape[2]
+    bq = _fit_block(block_sizes.block_q, s_q)
+    bk = _fit_block(block_sizes.block_k, s_k)
+    num_q, num_kv = s_q // bq, s_k // bk
+    has_bias = bias is not None
+    has_ids = q_ids is not None
+    bcast_bias_q = has_bias and bias.shape[2] == 1
+
+    grid = (batch, heads, num_q, num_kv)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, j, 0)),
+    ]
+    args = [q, k, v]
+    if has_bias:
+        bb, bh = bias.shape[0], bias.shape[1]
+        bq_bias = 1 if bcast_bias_q else bq
+        in_specs.append(pl.BlockSpec(
+            (1, 1, bq_bias, bk),
+            lambda b, h, i, j, bb=bb, bh=bh, bc=bcast_bias_q: (
+                b if bb > 1 else 0, h if bh > 1 else 0, 0 if bc else i, j)))
+        args.append(bias)
+    if has_ids:
+        # q_ids: [B, S_q, NUM_LANES] lane-replicated; kv_ids: [B, NUM_SUBLANES, S_k]
+        in_specs.append(pl.BlockSpec((1, bq, NUM_LANES),
+                                     lambda b, h, i, j: (b, i, 0)))
+        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk),
+                                     lambda b, h, i, j: (b, 0, j)))
+        args.extend([q_ids, kv_ids])
+
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, heads, s_q, d), q.dtype),
+        jax.ShapeDtypeStruct((batch, heads, s_q, NUM_LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, sm_scale=sm_scale, ids_mode=ids_mode,
+        has_bias=has_bias, has_ids=has_ids, bcast_bias_q=bcast_bias_q,
+        mask_value=mask_value, num_kv_blocks=num_kv, block_q=bq, block_k=bk)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return o, lse
+
+
+# ─────────────────────────────── backward ───────────────────────────────
+
+
+def _bwd_dkv_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
+                    has_bias: bool, has_ids: bool, bcast_bias_q: bool,
+                    mask_value: float, num_q_blocks: int,
+                    block_q: int, block_k: int):
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    q_ids_ref = next(it) if has_ids else None
+    kv_ids_ref = next(it) if has_ids else None
+    lse_ref = next(it)
+    di_ref = next(it)
+    do_ref = next(it)
+    dk_ref = next(it)
+    dv_ref = next(it)
+    dk_scr = next(it)
+    dv_scr = next(it)
+
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if causal:
+        should_run = ((qi + 1) * block_q - 1) >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0, 0]                        # [bq, d]
+        k = k_ref[0, 0]                        # [bk, d]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]                      # [bq, d]
+        lse = lse_ref[0, 0]                    # [bq, 128]
+        di = di_ref[0, 0]                      # [bq, 128]
+
+        s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bk]
+        if sm_scale != 1.0:
+            s *= sm_scale
+        if has_bias:
+            s += bias_ref[0, 0].astype(jnp.float32)
+
+        mask = None
+        if has_ids:
+            qids = q_ids_ref[0][:, :1]
+            kids = kv_ids_ref[0][:1, :]
+            mask = _id_mask(qids, kids, ids_mode)
+        if causal:
+            rows = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            cols = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+                + ki * block_k
+            cmask = cols <= rows
+            mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+        if mask is not None:
+            s = jnp.where(mask, s, mask_value)
+
+        p = jnp.exp(s - lax.broadcast_in_dim(lse[:, :1], (block_q, block_k),
+                                             (0, 1)))
+        # dv[bk, d] += p^T @ do  (transpose folded into the MXU contraction)
+        dv_scr[...] += lax.dot_general(
+            p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dp[bq, bk] = do @ v^T
+        dp = lax.dot_general(do.astype(jnp.float32), v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        ds = p * (dp - lax.broadcast_in_dim(di[:, :1], (block_q, block_k),
+                                            (0, 1)))
+        if sm_scale != 1.0:
+            ds *= sm_scale
+        # dk[bk, d] += ds^T @ q
+        dk_scr[...] += lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
+                   has_bias: bool, has_ids: bool, bcast_bias_q: bool,
+                   mask_value: float, num_kv_blocks: int,
+                   block_q: int, block_k: int):
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    bias_ref = next(it) if has_bias else None
+    q_ids_ref = next(it) if has_ids else None
+    kv_ids_ref = next(it) if has_ids else None
+    lse_ref = next(it)
+    di_ref = next(it)
+    do_ref = next(it)
+    dq_ref = next(it)
+    dq_scr = next(it)
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    if causal:
+        should_run = ((qi + 1) * block_q - 1) >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        di = di_ref[0, 0]
+
+        s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s *= sm_scale
+        if has_bias:
+            s += bias_ref[0, 0].astype(jnp.float32)
+
+        mask = None
+        if has_ids:
+            qids = q_ids_ref[0][:, :1]
+            kids = kv_ids_ref[0][:1, :]
+            mask = _id_mask(qids, kids, ids_mode)
+        if causal:
+            rows = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + qi * block_q
+            cols = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+                + ki * block_k
+            cmask = cols <= rows
+            mask = cmask if mask is None else jnp.logical_and(mask, cmask)
+        if mask is not None:
+            s = jnp.where(mask, s, mask_value)
+
+        p = jnp.exp(s - lax.broadcast_in_dim(lse[:, :1], (block_q, block_k),
+                                             (0, 1)))
+        dp = lax.dot_general(do.astype(jnp.float32), v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        ds = p * (dp - lax.broadcast_in_dim(di[:, :1], (block_q, block_k),
+                                            (0, 1)))
+        if sm_scale != 1.0:
+            ds *= sm_scale
+        dq_scr[...] += lax.dot_general(ds, k.astype(jnp.float32),
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _make_bias_spec(bias, bq, bk, bcast_bias_q, q_axis=2):
+    bb, bh = bias.shape[0], bias.shape[1]
+    bq_bias = 1 if bcast_bias_q else bq
+
+    def idx(b, h, x, y, bb=bb, bh=bh, bc=bcast_bias_q, q_axis=q_axis):
+        # grid is (b, h, ki, qi) for dkv and (b, h, qi, ki) for dq
+        qi, ki = (y, x) if q_axis == 3 else (x, y)
+        return (b if bb > 1 else 0, h if bh > 1 else 0,
+                0 if bc else qi, ki)
+
+    return pl.BlockSpec((1, 1, bq_bias, bk), idx)
+
+
+def _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value, interpret,
+         res, g):
+    q, k, v, bias, q_ids, kv_ids, o, lse = res
+    do = g
+    batch, heads, s_q, d = q.shape
+    s_k = k.shape[2]
+    bq_dkv = _fit_block(block_sizes.block_q_dkv, s_q)
+    bk_dkv = _fit_block(block_sizes.block_k_dkv, s_k)
+    bq_dq = _fit_block(block_sizes.block_q_dq, s_q)
+    bk_dq = _fit_block(block_sizes.block_k_dq, s_k)
+    has_bias = bias is not None
+    has_ids = q_ids is not None
+    bcast_bias_q = has_bias and bias.shape[2] == 1
+
+    # di = rowsum(o * do), lane-replicated like lse
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=-1, keepdims=True)                    # [b, h, s_q, 1]
+    di = jnp.broadcast_to(di, (*di.shape[:3], NUM_LANES))
+
+    common = dict(causal=causal, sm_scale=sm_scale, ids_mode=ids_mode,
+                  has_bias=has_bias, has_ids=has_ids,
+                  bcast_bias_q=bcast_bias_q, mask_value=mask_value)
+
+    # ── dK/dV: grid (b, h, ki, qi), qi innermost ──
+    num_q, num_kv = s_q // bq_dkv, s_k // bk_dkv
+    in_specs = [
+        pl.BlockSpec((1, 1, bq_dkv, d), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
+    ]
+    args = [q, k, v]
+    if has_bias:
+        in_specs.append(_make_bias_spec(bias, bq_dkv, bk_dkv, bcast_bias_q,
+                                        q_axis=3))
+        args.append(bias)
+    if has_ids:
+        in_specs.append(pl.BlockSpec((1, bq_dkv, NUM_LANES),
+                                     lambda b, h, j, i: (b, i, 0)))
+        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk_dkv),
+                                     lambda b, h, j, i: (b, 0, j)))
+        args.extend([q_ids, kv_ids])
+    in_specs.extend([
+        pl.BlockSpec((1, 1, bq_dkv, NUM_LANES), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq_dkv, NUM_LANES), lambda b, h, j, i: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq_dkv, d), lambda b, h, j, i: (b, h, i, 0)),
+    ])
+    args.extend([lse, di, do])
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, num_q_blocks=num_q,
+                          block_q=bq_dkv, block_k=bk_dkv, **common),
+        grid=(batch, heads, num_kv, num_q),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk_dkv, d), jnp.float32),
+            pltpu.VMEM((bk_dkv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+    # ── dQ: grid (b, h, qi, ki), ki innermost ──
+    num_q, num_kv = s_q // bq_dq, s_k // bk_dq
+    in_specs = [
+        pl.BlockSpec((1, 1, bq_dq, d), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bk_dq, d), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bk_dq, d), lambda b, h, i, j: (b, h, j, 0)),
+    ]
+    args = [q, k, v]
+    if has_bias:
+        in_specs.append(_make_bias_spec(bias, bq_dq, bk_dq, bcast_bias_q,
+                                        q_axis=2))
+        args.append(bias)
+    if has_ids:
+        in_specs.append(pl.BlockSpec((1, bq_dq, NUM_LANES),
+                                     lambda b, h, i, j: (b, i, 0)))
+        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk_dq),
+                                     lambda b, h, i, j: (b, 0, j)))
+        args.extend([q_ids, kv_ids])
+    in_specs.extend([
+        pl.BlockSpec((1, 1, bq_dq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq_dq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq_dq, d), lambda b, h, i, j: (b, h, i, 0)),
+    ])
+    args.extend([lse, di, do])
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, num_kv_blocks=num_kv,
+                          block_q=bq_dq, block_k=bk_dq, **common),
+        grid=(batch, heads, num_q, num_kv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq_dq, d),
+                               lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq_dq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+    dbias = jnp.zeros_like(bias) if bias is not None else None
+    dq_ids = jnp.zeros_like(q_ids) if q_ids is not None else None
+    dkv_ids = jnp.zeros_like(kv_ids) if kv_ids is not None else None
+    return dq, dk, dv, dbias, dq_ids, dkv_ids
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flash_attention(causal: bool, sm_scale: float, ids_mode: str,
+                          block_sizes: BlockSizes, mask_value: float,
+                          interpret: bool):
+    @jax.custom_vjp
+    def fa(q, k, v, bias, q_ids, kv_ids):
+        o, _ = _fwd(q, k, v, bias, q_ids, kv_ids, causal=causal,
+                    sm_scale=sm_scale, ids_mode=ids_mode,
+                    block_sizes=block_sizes, mask_value=mask_value,
+                    interpret=interpret)
+        return o
+
+    def fa_fwd(q, k, v, bias, q_ids, kv_ids):
+        o, lse = _fwd(q, k, v, bias, q_ids, kv_ids, causal=causal,
+                      sm_scale=sm_scale, ids_mode=ids_mode,
+                      block_sizes=block_sizes, mask_value=mask_value,
+                      interpret=interpret)
+        return o, (q, k, v, bias, q_ids, kv_ids, o, lse)
+
+    def fa_bwd(res, g):
+        return _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value,
+                    interpret, res, g)
+
+    fa.defvjp(fa_fwd, fa_bwd)
+    return fa
+
+
+def flash_attention(
+    q: jnp.ndarray,                      # [B, H, S_q, D]
+    k: jnp.ndarray,                      # [B, H, S_k, D]
+    v: jnp.ndarray,                      # [B, H, S_k, D]
+    bias: Optional[jnp.ndarray] = None,  # [B|1, H|1, S_q|1, S_k]
+    q_ids: Optional[jnp.ndarray] = None,   # int32 [B, S_q]
+    kv_ids: Optional[jnp.ndarray] = None,  # int32 [B, S_k]
+    *,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    ids_mode: str = "eq",
+    block_sizes: Optional[BlockSizes] = None,
+    mask_value: float = DEFAULT_MASK_VALUE,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused multi-head attention. Pads S_q/S_k/D to TPU-friendly sizes,
+    launches the Pallas kernels, and slices the result back.
+
+    When padding S_k on a non-causal call, kv ids are synthesized so padded
+    keys are masked (PAD_ID never matches under "eq"/"ge").
+    """
+    batch, heads, s_q, d = q.shape
+    s_k = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    block_sizes = block_sizes or BlockSizes()
+    if causal and s_q != s_k:
+        raise ValueError("causal flash attention requires s_q == s_k "
+                         "(use the decode kernel for cached decoding)")
+
+    # pad head dim to a multiple of 128 (CLIP 64, perceiver 16/64, persimmon 64)
+    d_pad = max(NUM_LANES, _cdiv(d, NUM_LANES) * NUM_LANES)
+    # pad sequence dims to a multiple of 128; per-kernel block sizes are then
+    # fitted down to divide the padded lengths (_fit_block)
+    s_q_pad = _cdiv(s_q, NUM_LANES) * NUM_LANES
+    s_k_pad = _cdiv(s_k, NUM_LANES) * NUM_LANES
+    if causal:
+        s_q_pad = s_k_pad = max(s_q_pad, s_k_pad)
+
+    needs_kv_mask = (s_k_pad != s_k) and not causal
+    if needs_kv_mask and kv_ids is None:
+        q_ids = jnp.zeros((batch, s_q), jnp.int32)
+        kv_ids = jnp.zeros((batch, s_k), jnp.int32)
+        ids_mode = "eq" if ids_mode not in ("eq", "ge") else ids_mode
+
+    def pad(x, target_len, axis, value=0):
+        if x is None or x.shape[axis] == target_len:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, target_len - x.shape[axis])
+        return jnp.pad(x, widths, constant_values=value)
+
+    qp = pad(pad(q, s_q_pad, 2), d_pad, 3)
+    kp = pad(pad(k, s_k_pad, 2), d_pad, 3)
+    vp = pad(pad(v, s_k_pad, 2), d_pad, 3)
+    bp = None
+    if bias is not None:
+        bp = bias.astype(jnp.float32)
+        if bp.shape[2] != 1:
+            bp = pad(bp, s_q_pad, 2)
+        bp = pad(bp, s_k_pad, 3)   # zeros fine: padded keys masked elsewhere
+
+    qidp = kidp = None
+    if q_ids is not None:
+        qidp = pad(q_ids.astype(jnp.int32), s_q_pad, 1)
+        kidp = pad(kv_ids.astype(jnp.int32), s_k_pad, 1, value=PAD_ID)
+        # lane/sublane-replicated layouts for clean TPU tiling
+        qidp = jnp.broadcast_to(qidp[:, :, None], (batch, s_q_pad, NUM_LANES))
+        kidp = jnp.broadcast_to(kidp[:, None, :],
+                                (batch, NUM_SUBLANES, s_k_pad))
+
+    fa = _make_flash_attention(causal, float(sm_scale), ids_mode, block_sizes,
+                               float(mask_value), interpret)
+    # biases/ids are non-trainable inputs
+    if bp is not None:
+        bp = lax.stop_gradient(bp)
+    o = fa(qp, kp, vp, bp, qidp, kidp)
+    return o[:, :, :s_q, :d]
