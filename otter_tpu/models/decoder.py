@@ -1,0 +1,371 @@
+"""Unified decoder-only LM backbone (flax.linen).
+
+One parameterized implementation covers the reference's five backbones —
+selected by `TextConfig.arch`:
+
+  - "mpt"        MPT-7B/30B: ALiBi, LPLayerNorm, fused Wqkv, no biases,
+                 tied embeddings, GELU MLP
+                 (reference `src/otter_ai/models/mpt/modeling_mpt.py:40-458`,
+                 `blocks.py:23-90`, `attention.py:225-316`)
+  - "mosaic_gpt" older Mosaic variant, same structure
+                 (reference `mpt_redpajama/mosaic_gpt.py:26`)
+  - "llama"      RoPE, RMSNorm, SwiGLU, untied head
+                 (reference `xformers_model/llama.py:95-790`)
+  - "falcon"     rotary, fused-qkv multiquery, parallel attn+MLP block
+                 (reference `falcon/modelling_RW.py:49-507`)
+  - "persimmon"  partial rotary, per-head QK-layernorm, squared-ReLU MLP,
+                 biases everywhere
+                 (reference `fuyu/modeling_persimmon.py:111-320`)
+
+The Flamingo-style gated cross-attention interleave (`init_otter`,
+`modeling_otter.py:459-483` — runtime module surgery in the reference) is
+static model structure here: a `GatedCrossAttentionBlock` before every
+`cross_attn_every_n_layers`-th decoder layer, active when `vis_latents` is
+passed.
+
+Functional KV-cache decoding: the cache is an explicit input/output pytree
+(no module state), replacing HF `past_key_values` plumbing
+(`modeling_mpt.py:460-483`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from otter_tpu.config import OtterConfig, TextConfig
+from otter_tpu.models.xattn import GatedCrossAttentionBlock
+from otter_tpu.ops.attention import multi_head_attention
+from otter_tpu.ops.layers import (ACTIVATIONS, apply_rotary, layer_norm,
+                                  rms_norm, rotary_tables)
+from otter_tpu.ops.masks import DEFAULT_MASK_VALUE, alibi_slopes
+
+
+def _norm(cfg: TextConfig, dtype, name: str):
+    """Norm factory honoring norm_type and no_bias (MPT removes LN biases,
+    `modeling_mpt.py:83-87`)."""
+    if cfg.norm_type == "rmsnorm":
+        return RMSNormModule(eps=cfg.norm_eps, dtype=dtype, name=name)
+    return LPLayerNormModule(eps=cfg.norm_eps, use_bias=not cfg.no_bias,
+                             dtype=dtype, name=name)
+
+
+class LPLayerNormModule(nn.Module):
+    eps: float = 1e-5
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+             if self.use_bias else None)
+        return layer_norm(x.astype(self.dtype), w, b, eps=self.eps)
+
+
+class RMSNormModule(nn.Module):
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                       jnp.float32)
+        return rms_norm(x.astype(self.dtype), w, eps=self.eps)
+
+
+class SelfAttention(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, positions=None, attn_ids=None, bias=None,
+                 cache=None, kv_valid=None, cache_pos=None):
+        """x: [B, S, D]. Prefill (cache=None or writing from 0) uses the
+        causal Pallas kernel; decode (cache with q_len small) uses dense
+        attention against the cache.
+
+        Returns (out [B,S,D], new_cache_entry or None).
+        """
+        c = self.cfg
+        b, s, d_model = x.shape
+        h, hk, d = c.num_attention_heads, c.kv_heads, c.head_dim
+        use_bias = not c.no_bias
+
+        if c.arch in ("mpt", "mosaic_gpt"):
+            qkv = nn.Dense(3 * d_model, use_bias=use_bias, dtype=self.dtype,
+                           name="Wqkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif c.arch == "falcon":
+            # fused multiquery layout: [q (h*d) | k (hk*d) | v (hk*d)]
+            qkv = nn.Dense((h + 2 * hk) * d, use_bias=use_bias,
+                           dtype=self.dtype, name="Wqkv")(x)
+            q = qkv[..., : h * d]
+            k = qkv[..., h * d: (h + hk) * d]
+            v = qkv[..., (h + hk) * d:]
+        elif c.arch == "persimmon":
+            qkv = nn.Dense(3 * d_model, use_bias=use_bias, dtype=self.dtype,
+                           name="Wqkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:  # llama
+            q = nn.Dense(h * d, use_bias=use_bias, dtype=self.dtype,
+                         name="q_proj")(x)
+            k = nn.Dense(hk * d, use_bias=use_bias, dtype=self.dtype,
+                         name="k_proj")(x)
+            v = nn.Dense(hk * d, use_bias=use_bias, dtype=self.dtype,
+                         name="v_proj")(x)
+
+        if c.clip_qkv:
+            q = jnp.clip(q, -c.clip_qkv, c.clip_qkv)
+            k = jnp.clip(k, -c.clip_qkv, c.clip_qkv)
+            v = jnp.clip(v, -c.clip_qkv, c.clip_qkv)
+
+        if c.qk_ln and c.arch in ("mpt", "mosaic_gpt"):
+            # full-width LPLayerNorm on q/k (mpt/attention.py:246-251)
+            q = LPLayerNormModule(eps=c.norm_eps, use_bias=use_bias,
+                                  dtype=self.dtype, name="q_ln")(q)
+            k = LPLayerNormModule(eps=c.norm_eps, use_bias=use_bias,
+                                  dtype=self.dtype, name="k_ln")(k)
+
+        def split(t, heads):
+            return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q, h), split(k, hk), split(v, hk)
+
+        if c.qk_ln and c.arch == "persimmon":
+            # per-head layernorm (fuyu/modeling_persimmon.py:286-287)
+            q = PerHeadLN(eps=c.norm_eps, dtype=self.dtype, name="q_ln")(q)
+            k = PerHeadLN(eps=c.norm_eps, dtype=self.dtype, name="k_ln")(k)
+
+        if c.pos == "rope":
+            rot_dim = int(d * c.rope_partial_factor)
+            cos, sin = rotary_tables(rot_dim, c.max_seq_len,
+                                     theta=c.rope_theta)
+            if positions is None:
+                positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            q, k = apply_rotary(q, k, cos, sin, positions, rotary_dim=rot_dim)
+
+        new_cache = None
+        if cache is not None and cache_pos is not None and kv_valid is not None:
+            # decode: append k,v at cache_pos, attend against full cache
+            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(
+                cache["k"].dtype), (0, 0, cache_pos, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(
+                cache["v"].dtype), (0, 0, cache_pos, 0))
+            new_cache = {"k": ck, "v": cv}
+            out = _decode_attention(q, ck, cv, kv_valid, bias,
+                                    sm_scale=self._scale())
+        else:
+            out = multi_head_attention(
+                q, k, v, bias=bias, q_ids=attn_ids, kv_ids=attn_ids,
+                ids_mode="eq", causal=True, sm_scale=self._scale())
+            if cache is not None:
+                # prefill: write k/v at offset 0 into the preallocated cache
+                ck = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, 0, 0, 0))
+                new_cache = {"k": ck, "v": cv}
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        out = nn.Dense(d_model, use_bias=use_bias, dtype=self.dtype,
+                       name="out_proj")(out)
+        return out, new_cache
+
+    def _scale(self):
+        return self.cfg.head_dim ** -0.5
+
+
+class PerHeadLN(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, S, D]
+        d = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return layer_norm(x, w, b, eps=self.eps)
+
+
+def _decode_attention(q, k, v, kv_valid, bias, *, sm_scale):
+    """Dense attention for cached decoding (small q_len against [B,H,L,D]).
+
+    kv_valid: bool [B, L] — key is attendable (written and non-pad).
+    bias: optional additive [1|B, H|1, 1|S, L].
+    """
+    h, hk = q.shape[1], k.shape[1]
+    if hk != h:
+        k = jnp.repeat(k, h // hk, axis=1)
+        v = jnp.repeat(v, h // hk, axis=1)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * sm_scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    logits = jnp.where(kv_valid[:, None, None, :], logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+class MLP(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        use_bias = not c.no_bias
+        dense = lambda feat, name: nn.Dense(feat, use_bias=use_bias,
+                                            dtype=self.dtype, name=name)
+        if c.act == "silu_glu":
+            gate = ACTIVATIONS["silu"](dense(c.mlp_dim, "gate_proj")(x))
+            up = dense(c.mlp_dim, "up_proj")(x)
+            return dense(c.hidden_size, "down_proj")(gate * up)
+        act = ACTIVATIONS[c.act]
+        y = dense(c.mlp_dim, "up_proj")(x)
+        return dense(c.hidden_size, "down_proj")(act(y))
+
+
+class DecoderLayer(nn.Module):
+    cfg: TextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, positions=None, attn_ids=None, bias=None,
+                 cache=None, kv_valid=None, cache_pos=None):
+        c = self.cfg
+        if c.arch == "falcon":
+            # falcon-7b parallel attention + MLP off one LN
+            # (falcon/modelling_RW.py: parallel_attn)
+            ln = _norm(c, self.dtype, "norm_1")(x)
+            attn, new_cache = SelfAttention(c, self.dtype, name="attn")(
+                ln, positions=positions, attn_ids=attn_ids, bias=bias,
+                cache=cache, kv_valid=kv_valid, cache_pos=cache_pos)
+            mlp = MLP(c, self.dtype, name="ffn")(ln)
+            return x + attn + mlp, new_cache
+
+        a = _norm(c, self.dtype, "norm_1")(x)
+        attn, new_cache = SelfAttention(c, self.dtype, name="attn")(
+            a, positions=positions, attn_ids=attn_ids, bias=bias,
+            cache=cache, kv_valid=kv_valid, cache_pos=cache_pos)
+        x = x + attn
+        m = _norm(c, self.dtype, "norm_2")(x)
+        x = x + MLP(c, self.dtype, name="ffn")(m)
+        return x, new_cache
+
+
+class Decoder(nn.Module):
+    """Optionally Flamingo-augmented causal LM.
+
+    `otter_cfg` non-None inserts a GatedCrossAttentionBlock before every
+    cross_attn_every_n_layers-th layer (reference `init_otter`,
+    modeling_otter.py:459-483, xattn placement `(i+1) % n == 0`).
+    """
+
+    cfg: TextConfig
+    otter_cfg: Optional[OtterConfig] = None
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids=None, *, inputs_embeds=None,
+                 attention_mask=None, positions=None,
+                 vis_latents=None, xattn_q_ids=None, xattn_kv_ids=None,
+                 xattn_out_keep=None,
+                 cache=None, cache_pos=None, kv_valid=None):
+        """Returns (logits [B, S, V], new_cache or None).
+
+        Prefill/training: cache=None (training) or a preallocated cache with
+        cache_pos=None (prefill writes at offset 0). Decode: cache_pos set,
+        kv_valid [B, L] marks attendable cache entries.
+        """
+        c = self.cfg
+        embed = nn.Embed(c.total_vocab, c.hidden_size,
+                         dtype=self.dtype, name="wte")
+        if inputs_embeds is None:
+            x = embed(input_ids)
+        else:
+            x = inputs_embeds.astype(self.dtype)
+        b, s, _ = x.shape
+
+        if c.pos == "learned":
+            wpe = self.param("wpe", nn.initializers.normal(0.02),
+                             (c.max_seq_len, c.hidden_size), jnp.float32)
+            if positions is None:
+                positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            x = x + wpe.astype(self.dtype)[positions]
+
+        decoding = cache is not None and cache_pos is not None
+
+        # self-attention bias: ALiBi (column form, matching build_alibi_bias
+        # mpt/attention.py:457-464 — softmax-shift-equivalent per row)
+        bias = None
+        attn_ids = None
+        if c.pos == "alibi":
+            slopes = alibi_slopes(c.num_attention_heads, c.alibi_bias_max)
+            if decoding:
+                L = cache["layers_0"]["k"].shape[2]
+                # column j gets (j - last_pos) * slope; last_pos = cache_pos+s-1
+                rel = (jnp.arange(L, dtype=jnp.int32) - (cache_pos + s - 1))
+                bias = rel[None, None, None, :] * slopes[None, :, None, None]
+            else:
+                rel = jnp.arange(1 - s, 1, dtype=jnp.int32)
+                bias = rel[None, None, None, :] * slopes[None, :, None, None]
+        if decoding:
+            # intra-block causality for s>1 decode steps
+            if s > 1:
+                L = cache["layers_0"]["k"].shape[2]
+                qpos = cache_pos + jnp.arange(s)
+                block_mask = jnp.arange(L)[None, :] <= qpos[:, None]
+                mb = jnp.where(block_mask, 0.0, DEFAULT_MASK_VALUE)
+                bias = mb[None, None] if bias is None else bias + mb[None, None]
+        elif attention_mask is not None:
+            attn_ids = attention_mask.astype(jnp.int32)
+
+        xattn_every = (self.otter_cfg.cross_attn_every_n_layers
+                       if self.otter_cfg is not None else 0)
+
+        new_cache = {} if cache is not None else None
+        for i in range(c.num_hidden_layers):
+            if (xattn_every and (i + 1) % xattn_every == 0
+                    and vis_latents is not None):
+                oc = self.otter_cfg
+                x = GatedCrossAttentionBlock(
+                    dim=c.hidden_size, dim_visual=oc.perceiver.dim,
+                    dim_head=oc.xattn_dim_head, heads=oc.xattn_heads,
+                    ff_mult=oc.xattn_ff_mult,
+                    only_attend_immediate_media=oc.only_attend_immediate_media,
+                    dtype=self.dtype, name=f"xattn_{i}")(
+                        x, vis_latents, xattn_q_ids, xattn_kv_ids,
+                        xattn_out_keep)
+            layer_cache = cache[f"layers_{i}"] if cache is not None else None
+            x, lc = DecoderLayer(c, self.dtype, name=f"layers_{i}")(
+                x, positions=positions, attn_ids=attn_ids, bias=bias,
+                cache=layer_cache, kv_valid=kv_valid, cache_pos=cache_pos)
+            if new_cache is not None:
+                new_cache[f"layers_{i}"] = lc
+
+        x = _norm(c, self.dtype, "norm_f")(x)
+
+        if c.tie_embeddings:
+            logits = embed.attend(x)
+        else:
+            logits = nn.Dense(c.total_vocab, use_bias=False,
+                              dtype=self.dtype, name="lm_head")(x)
+        if c.logit_scale is not None:
+            logits = logits * c.logit_scale
+        return logits, new_cache
+
+
+def init_cache(cfg: TextConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Preallocated KV cache pytree."""
+    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
+    return {f"layers_{i}": {"k": jnp.zeros(shape, dtype),
+                            "v": jnp.zeros(shape, dtype)}
+            for i in range(cfg.num_hidden_layers)}

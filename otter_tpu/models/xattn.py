@@ -1,0 +1,91 @@
+"""Tanh-gated masked cross-attention block (flax.linen).
+
+Rebuild of `OtterMaskedCrossAttention` / `OtterGatedCrossAttentionBlock`
+(reference `modeling_otter.py:238-395`). The media-location mask logic
+(`:296-330`) is computed OUTSIDE the block as integer ids (text_time vs
+media_time) and enforced inside the Pallas kernel via the "eq"/"ge" id
+comparison; the post-softmax zeroing for text with no preceding media
+(`:326-330`) becomes the `out_keep` multiply.
+
+Gates initialize to 0 so a freshly added block is an identity (Flamingo).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from otter_tpu.ops.attention import multi_head_attention
+from otter_tpu.ops.layers import gelu
+
+
+class MaskedCrossAttention(nn.Module):
+    dim: int
+    dim_visual: int
+    dim_head: int = 64
+    heads: int = 8
+    only_attend_immediate_media: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, media, q_ids=None, kv_ids=None, out_keep=None):
+        """x: [B, S_txt, D_txt]; media: [B, T_img, n, D_vis];
+        q_ids: [B, S_txt] text_time; kv_ids: [B, T_img*n] media_time."""
+        inner = self.dim_head * self.heads
+        b, t_img, n, _ = media.shape
+
+        x_n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_n)
+        media_flat = media.reshape(b, t_img * n, -1)
+        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
+                      name="to_kv")(media_flat)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split(t):
+            bb, s, _ = t.shape
+            return t.reshape(bb, s, self.heads,
+                             self.dim_head).transpose(0, 2, 1, 3)
+
+        out = multi_head_attention(
+            split(q), split(k), split(v),
+            q_ids=q_ids, kv_ids=kv_ids,
+            ids_mode="eq" if self.only_attend_immediate_media else "ge",
+            sm_scale=self.dim_head ** -0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
+        if out_keep is not None:
+            out = out * out_keep[..., None].astype(out.dtype)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        name="to_out")(out)
+
+
+class GatedCrossAttentionBlock(nn.Module):
+    dim: int
+    dim_visual: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    only_attend_immediate_media: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, media, q_ids=None, kv_ids=None, out_keep=None):
+        attn_gate = self.param("attn_gate", nn.initializers.zeros, (1,),
+                               jnp.float32)
+        ff_gate = self.param("ff_gate", nn.initializers.zeros, (1,),
+                             jnp.float32)
+        attn = MaskedCrossAttention(
+            self.dim, self.dim_visual, self.dim_head, self.heads,
+            self.only_attend_immediate_media, self.dtype, name="attn")(
+                x, media, q_ids, kv_ids, out_keep)
+        x = attn * jnp.tanh(attn_gate).astype(x.dtype) + x
+
+        residual = x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
+        y = nn.Dense(self.dim * self.ff_mult, use_bias=False,
+                     dtype=self.dtype, name="ff_up")(y)
+        y = gelu(y)
+        y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     name="ff_down")(y)
+        return y * jnp.tanh(ff_gate).astype(x.dtype) + residual

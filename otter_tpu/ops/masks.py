@@ -118,6 +118,39 @@ def media_cross_attention_mask(
     return allowed, out_keep
 
 
+def media_attention_ids(
+    media_locations: jnp.ndarray,   # [B, T_txt] bool
+    num_media: int,
+    num_latents: int,
+    *,
+    only_attend_immediate_media: bool = True,
+    attend_previous: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Media mask as integer ids for the flash kernel's eq/ge comparison.
+
+    Returns (q_ids [B, T_txt], kv_ids [B, T_img*n], out_keep [B, T_txt]).
+    Same semantics as `media_cross_attention_mask` but O(S) instead of
+    O(S * T_img * n) — the kernel compares ids per tile.
+    """
+    media_locations = media_locations.astype(bool)
+    b = media_locations.shape[0]
+    text_time = jnp.cumsum(media_locations.astype(jnp.int32), axis=-1)
+    if not attend_previous:
+        text_time = jnp.where(media_locations, text_time, text_time + 1)
+        n_media = jnp.sum(media_locations.astype(jnp.int32), axis=-1,
+                          keepdims=True)
+        text_time = jnp.where(text_time > n_media, 0, text_time)
+
+    media_ids = jnp.repeat(jnp.arange(1, num_media + 1, dtype=jnp.int32),
+                           num_latents)
+    kv_ids = jnp.broadcast_to(media_ids, (b, num_media * num_latents))
+    if only_attend_immediate_media:
+        out_keep = text_time > 0
+    else:
+        out_keep = jnp.ones_like(text_time, dtype=bool)
+    return text_time, kv_ids, out_keep
+
+
 def expand_media_mask_to_latents(allowed: jnp.ndarray, num_latents: int) -> jnp.ndarray:
     """[B, T_txt, T_img] -> [B, 1, T_txt, T_img*n] (broadcast over heads)."""
     b, t_txt, t_img = allowed.shape
