@@ -1,0 +1,229 @@
+"""Jitted generation engine: batched left-padded prefill + KV-cached decode.
+
+Replaces HF `GenerationMixin.generate` as driven by the reference
+(`modeling_otter.py:999-1041`: encode vision once, generate with
+eos=<|endofchunk|>, clear conditioning) with two TPU-native paths:
+
+  - `generate()`   — the whole decode loop inside one jitted
+                     `lax.while_loop` (eval/bench; no host round-trips)
+  - `stream_generate()` — jitted prefill + jitted single-step decode driven
+                     from a Python loop, yielding tokens for the serving
+                     stack's streaming protocol (`model_worker.py:251-263`)
+
+Vision latents are encoded once per call and reused every step (the
+`use_cached_vision_x` behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otter_tpu.config import GenerationConfig, OtterConfig
+from otter_tpu.generation import sampling
+from otter_tpu.models.decoder import init_cache
+from otter_tpu.models.otter import OtterVLM
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def left_pad(lang_x: np.ndarray, attention_mask: Optional[np.ndarray],
+             target_len: Optional[int] = None, pad_id: int = 0):
+    """Right-padded (or ragged-masked) batch -> left-padded [B, P]."""
+    lang_x = np.asarray(lang_x)
+    b, s = lang_x.shape
+    if attention_mask is None:
+        attention_mask = np.ones_like(lang_x)
+    attention_mask = np.asarray(attention_mask)
+    p = target_len or s
+    out = np.full((b, p), pad_id, lang_x.dtype)
+    mask = np.zeros((b, p), np.int32)
+    for i in range(b):
+        real = lang_x[i][attention_mask[i].astype(bool)]
+        out[i, p - len(real):] = real
+        mask[i, p - len(real):] = 1
+    return out, mask
+
+
+class OtterGenerator:
+    def __init__(self, model: OtterVLM, params, cfg: OtterConfig,
+                 cache_dtype=jnp.bfloat16):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.cache_dtype = cache_dtype
+        self._prefill_fns: Dict[Any, Any] = {}
+        self._step_fns: Dict[Any, Any] = {}
+        self._loop_fns: Dict[Any, Any] = {}
+
+    # ── building blocks ──────────────────────────────────────────────
+
+    def _prefill(self, params, vision_x, lang_x, attention_mask, cache):
+        """Returns (last_logits [B, V], cache, vis_latents, positions info)."""
+        positions = jnp.clip(
+            jnp.cumsum(attention_mask, axis=-1) - 1, 0, None).astype(jnp.int32)
+        logits, cache, vis_latents = self.model.apply(
+            params, vision_x, lang_x, attention_mask=attention_mask,
+            positions=positions, cache=cache)
+        return logits[:, -1], cache, vis_latents
+
+    def _step(self, params, tok, cache, cache_pos, kv_valid, positions,
+              vis_latents, media_counts):
+        logits, cache, _ = self.model.apply(
+            params, None, tok, vis_latents=vis_latents, cache=cache,
+            cache_pos=cache_pos, kv_valid=kv_valid, positions=positions,
+            media_counts=media_counts)
+        return logits[:, -1], cache
+
+    # ── fully-jitted generate ────────────────────────────────────────
+
+    def _build_generate(self, b: int, p: int, cache_len: int,
+                        gen: GenerationConfig):
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        max_new = gen.max_new_tokens
+
+        def run(params, vision_x, lang_x, attention_mask, rng):
+            cache = init_cache(self.cfg.text, b, cache_len, self.cache_dtype)
+            last_logits, cache, vis_latents = self._prefill(
+                params, vision_x, lang_x, attention_mask, cache)
+            media_counts = jnp.sum(
+                (lang_x == self.cfg.media_token_id).astype(jnp.int32), axis=-1)
+            real_len = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+            valid_from = p - real_len
+
+            buffer = jnp.concatenate(
+                [lang_x, jnp.full((b, cache_len - p), gen.pad_token_id,
+                                  lang_x.dtype)], axis=-1)
+            kv_valid0 = jnp.concatenate(
+                [attention_mask.astype(bool),
+                 jnp.zeros((b, cache_len - p), bool)], axis=-1)
+
+            def sample_from(rng, logits, buffer, t, done):
+                logits = sampling.ban_repeat_ngrams(
+                    logits, buffer, p + t, gen.no_repeat_ngram_size,
+                    valid_from)
+                tok = sampling.sample_token(
+                    rng, logits, do_sample=gen.do_sample,
+                    temperature=gen.temperature, top_k=gen.top_k,
+                    top_p=gen.top_p)
+                tok = jnp.where(done, gen.pad_token_id, tok)
+                return tok
+
+            rng, sub = jax.random.split(rng)
+            done0 = jnp.zeros((b,), bool)
+            tok0 = sample_from(sub, last_logits, buffer, 0, done0)
+            done0 = tok0 == eos
+            buffer = buffer.at[:, p].set(tok0)
+
+            def cond(state):
+                t, done = state[0], state[3]
+                return (t < max_new) & ~jnp.all(done)
+
+            def body(state):
+                t, rng, cache, done, buffer, kv_valid, tok = state
+                kv_valid = kv_valid | (
+                    jnp.arange(cache_len)[None] == p + t - 1)
+                positions = (real_len + t - 1)[:, None].astype(jnp.int32)
+                logits, cache = self._step(
+                    params, tok[:, None], cache, p + t - 1, kv_valid,
+                    positions, None if vis_latents is None else vis_latents,
+                    media_counts)
+                rng, sub = jax.random.split(rng)
+                nxt = sample_from(sub, logits, buffer, t, done)
+                done = done | (nxt == eos)
+                buffer = jax.lax.dynamic_update_slice(
+                    buffer, nxt[:, None], (0, p + t))
+                return (t + 1, rng, cache, done, buffer, kv_valid, nxt)
+
+            state = (jnp.int32(1), rng, cache, done0, buffer, kv_valid0, tok0)
+            t, _, _, done, buffer, _, _ = jax.lax.while_loop(cond, body, state)
+            return buffer[:, : p + max_new], t
+
+        return jax.jit(run, donate_argnums=())
+
+    def generate(self, vision_x, lang_x, attention_mask=None,
+                 gen: Optional[GenerationConfig] = None,
+                 rng: Optional[jax.Array] = None) -> np.ndarray:
+        """vision_x [B,T,F,C,H,W]; lang_x [B,P] LEFT-padded (use `left_pad`).
+        Returns [B, P + max_new_tokens] (prompt + generation, eos-terminated,
+        pad-filled)."""
+        gen = gen or GenerationConfig()
+        lang_x = jnp.asarray(lang_x)
+        b, p = lang_x.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, p), jnp.int32)
+        attention_mask = jnp.asarray(attention_mask)
+        cache_len = _round_up(p + gen.max_new_tokens, 128)
+        key = (b, p, cache_len, gen)
+        if key not in self._loop_fns:
+            self._loop_fns[key] = self._build_generate(b, p, cache_len, gen)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        out, _ = self._loop_fns[key](self.params, vision_x, lang_x,
+                                     attention_mask, rng)
+        return np.asarray(out)
+
+    # ── streaming generate (serving) ─────────────────────────────────
+
+    def stream_generate(self, vision_x, lang_x, attention_mask=None,
+                        gen: Optional[GenerationConfig] = None,
+                        rng: Optional[jax.Array] = None) -> Iterator[int]:
+        """Yields one token id at a time (greedy/sampled), stopping at eos.
+        Python-driven loop over a jitted single step — used by the serving
+        worker for `\\0`-delimited JSON streaming."""
+        gen = gen or GenerationConfig()
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        lang_x = jnp.asarray(lang_x)
+        b, p = lang_x.shape
+        assert b == 1, "streaming path serves one request at a time"
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, p), jnp.int32)
+        attention_mask = jnp.asarray(attention_mask)
+        cache_len = _round_up(p + gen.max_new_tokens, 128)
+
+        pk = (b, p, cache_len)
+        if pk not in self._prefill_fns:
+            def prefill(params, vision_x, lang_x, attention_mask):
+                cache = init_cache(self.cfg.text, b, cache_len,
+                                   self.cache_dtype)
+                return self._prefill(params, vision_x, lang_x,
+                                     attention_mask, cache)
+            self._prefill_fns[pk] = jax.jit(prefill)
+        sk = (b, cache_len)
+        if sk not in self._step_fns:
+            self._step_fns[sk] = jax.jit(self._step)
+
+        last_logits, cache, vis_latents = self._prefill_fns[pk](
+            self.params, vision_x, lang_x, attention_mask)
+        media_counts = jnp.sum(
+            (lang_x == self.cfg.media_token_id).astype(jnp.int32), axis=-1)
+        real_len = int(jnp.sum(attention_mask))
+        kv_valid = jnp.concatenate(
+            [attention_mask.astype(bool),
+             jnp.zeros((b, cache_len - p), bool)], axis=-1)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        logits = last_logits
+        for t in range(gen.max_new_tokens):
+            rng, sub = jax.random.split(rng)
+            tok = sampling.sample_token(
+                sub, logits, do_sample=gen.do_sample,
+                temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p)
+            tok_i = int(tok[0])
+            if tok_i == eos:
+                return
+            yield tok_i
+            kv_valid = kv_valid | (jnp.arange(cache_len)[None] == p + t)
+            positions = jnp.full((b, 1), real_len + t, jnp.int32)
+            logits, cache = self._step_fns[sk](
+                self.params, tok[:, None], cache, p + t, kv_valid, positions,
+                vis_latents, media_counts)
