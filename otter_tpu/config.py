@@ -211,6 +211,23 @@ def otter_mpt7b() -> OtterConfig:
     )
 
 
+def otter_mpt1b() -> OtterConfig:
+    """Flamingo-MPT-1B-RedPajama (reference
+    `flamingo/flamingo-mpt-1B-redpajama.json`): MosaicGPT 1B, ALiBi, qk_ln,
+    gated xattn every layer."""
+    return OtterConfig(
+        vision=VisionConfig(),
+        text=TextConfig(arch="mosaic_gpt", vocab_size=50432, hidden_size=2048,
+                        num_hidden_layers=24, num_attention_heads=16,
+                        max_seq_len=2048, pos="alibi", qk_ln=True,
+                        norm_type="low_precision_layernorm", act="gelu",
+                        tie_embeddings=True, no_bias=True),
+        perceiver=PerceiverConfig(dim=1024, max_num_frames=None),
+        cross_attn_every_n_layers=1,
+        media_token_id=50278, eoc_token_id=50277,
+    )
+
+
 def otter_llama7b_video(max_num_frames: int = 128) -> OtterConfig:
     """OTTER-Video-LLaMA7B-DenseCaption."""
     return OtterConfig(

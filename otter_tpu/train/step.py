@@ -1,0 +1,195 @@
+"""SFT training step: freezing policy, loss, optimizer, pjit-sharded step.
+
+Reproduces the reference training semantics
+(`pipeline/train/instruction_following.py:73-251`, `train_utils.py:167-183`):
+
+  - freezing policy: train only perceiver + gated-xattn blocks + input
+    embeddings (+ lm_head for untied decoders) — `init_weights`,
+    modeling_otter.py:875-915. Frozen params get no gradients and no
+    optimizer state (cf. SURVEY.md §7 hard part #7).
+  - weight decay only on gated-xattn weights, not gates/norms/biases
+    (`get_grouped_params`, train_utils.py:167-183)
+  - causal-LM loss with -100 label masking (HF shift-by-one convention)
+  - optional embedding-row gradient masking: only special-token rows of the
+    embedding train (`mask_embedding`, instruction_following.py:228-244)
+  - grad clipping at 1.0, constant/linear/cosine schedules with warmup
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from otter_tpu.config import OtterConfig
+
+
+def path_is_trainable(path: str, text_tied: bool) -> bool:
+    parts = path.split("/")
+    if "perceiver" == parts[0]:
+        return True
+    if any(p.startswith("xattn_") for p in parts):
+        return True
+    if parts[-2:] and "wte" in parts:
+        return True
+    if not text_tied and "lm_head" in parts:
+        return True
+    return False
+
+
+def split_params(params: Dict, cfg: OtterConfig) -> Tuple[Dict, Dict]:
+    """-> (trainable, frozen) param dicts (both flat-unflattened trees)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    tied = cfg.text.tie_embeddings
+    train = {k: v for k, v in flat.items() if path_is_trainable(k, tied)}
+    frozen = {k: v for k, v in flat.items()
+              if not path_is_trainable(k, tied)}
+    return (traverse_util.unflatten_dict(train, sep="/"),
+            traverse_util.unflatten_dict(frozen, sep="/"))
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(frozen, sep="/"))
+    flat.update(traverse_util.flatten_dict(trainable, sep="/"))
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
+def weight_decay_mask(trainable: Dict) -> Dict:
+    """True only for gated-xattn weights that are not gates/norms/biases
+    (train_utils.py:167-183)."""
+    flat = traverse_util.flatten_dict(trainable, sep="/")
+
+    def decay(path):
+        parts = path.split("/")
+        in_xattn = any(p.startswith("xattn_") for p in parts)
+        is_excluded = any(("gate" in p and "gate_proj" not in p)
+                          or "norm" in p or p == "bias" for p in parts)
+        return in_xattn and not is_excluded
+
+    mask = {k: decay(k) for k in flat}
+    return traverse_util.unflatten_dict(mask, sep="/")
+
+
+def make_schedule(name: str, lr: float, warmup_steps: int,
+                  total_steps: int) -> optax.Schedule:
+    warmup = optax.linear_schedule(0.0, lr, max(warmup_steps, 1))
+    if name == "constant":
+        rest = optax.constant_schedule(lr)
+    elif name == "linear":
+        rest = optax.linear_schedule(lr, 0.0,
+                                     max(total_steps - warmup_steps, 1))
+    elif name == "cosine":
+        rest = optax.cosine_decay_schedule(
+            lr, max(total_steps - warmup_steps, 1))
+    else:
+        raise ValueError(f"unknown schedule {name!r}")
+    return optax.join_schedules([warmup, rest], [warmup_steps])
+
+
+def make_optimizer(trainable: Dict, *, lr: float = 1e-5,
+                   schedule: str = "constant", warmup_steps: int = 0,
+                   total_steps: int = 10000, weight_decay: float = 0.1,
+                   grad_clip: float = 1.0,
+                   grad_accum_steps: int = 1) -> optax.GradientTransformation:
+    sched = make_schedule(schedule, lr, warmup_steps, total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=0.9, b2=0.95, eps=1e-8,
+                    weight_decay=weight_decay,
+                    mask=weight_decay_mask(trainable)),
+    )
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, grad_accum_steps)
+    return tx
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HF convention: predict labels[t+1] from logits[t]; -100 = ignored.
+    Returns (mean loss, token count)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != -100
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / n, n
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    trainable: Dict
+    frozen: Dict
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params: Dict, cfg: OtterConfig,
+               tx: optax.GradientTransformation) -> "TrainState":
+        trainable, frozen = split_params(params, cfg)
+        return cls(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                   frozen=frozen, opt_state=tx.init(trainable))
+
+    @property
+    def params(self) -> Dict:
+        return merge_params(self.trainable, self.frozen)
+
+
+def embedding_grad_mask(cfg: OtterConfig) -> Optional[jnp.ndarray]:
+    """Row mask for the embedding gradient: only the <answer> row trains
+    (`mask_embedding`, instruction_following.py:228-238 — media/eoc rows are
+    commented out in the reference). None disables."""
+    ids = [cfg.answer_token_id if cfg.answer_token_id is not None
+           else cfg.eoc_token_id]
+    v = cfg.text.total_vocab
+    mask = jnp.zeros((v, 1), jnp.float32)
+    return mask.at[jnp.asarray(ids)].set(1.0)
+
+
+def make_train_step(model, cfg: OtterConfig,
+                    tx: optax.GradientTransformation,
+                    *, mask_embedding: bool = False,
+                    attend_previous: bool = True):
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch: {vision_x [B,T,F,C,H,W], input_ids [B,S], attention_mask [B,S],
+            labels [B,S]} — the collated net_input of the reference
+    (`mimicit_dataset.py:510-549`) plus masked labels.
+    """
+    emb_mask = embedding_grad_mask(cfg) if mask_embedding else None
+
+    def loss_fn(trainable, frozen, batch):
+        params = merge_params(trainable, frozen)
+        logits, _, _ = model.apply(
+            {"params": params}, batch["vision_x"], batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            attend_previous=attend_previous)
+        loss, n = causal_lm_loss(logits, batch["labels"])
+        return loss, {"loss": loss, "tokens": n}
+
+    def step(state: TrainState, batch, rng=None):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, state.frozen, batch)
+        if emb_mask is not None:
+            flat = traverse_util.flatten_dict(grads, sep="/")
+            for k in list(flat):
+                if k.endswith("wte/embedding"):
+                    flat[k] = flat[k] * emb_mask.astype(flat[k].dtype)
+            grads = traverse_util.unflatten_dict(flat, sep="/")
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics = dict(metrics,
+                       grad_norm=optax.global_norm(grads))
+        return dataclasses.replace(state, step=state.step + 1,
+                                   trainable=trainable,
+                                   opt_state=opt_state), metrics
+
+    return step
