@@ -1,0 +1,130 @@
+"""Training-step tests: freezing policy, weight-decay grouping, loss
+masking, end-to-end loss decrease on a tiny model, and the full sharded
+step on the 8-device CPU mesh (dp×fsdp×tp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from otter_tpu.config import OtterConfig, ParallelConfig
+from otter_tpu.models.otter import OtterVLM
+from otter_tpu.parallel.mesh import create_mesh
+from otter_tpu.parallel.sharding import param_shardings, shard_params
+from otter_tpu.train.step import (TrainState, causal_lm_loss, make_optimizer,
+                                  make_train_step, merge_params, split_params,
+                                  weight_decay_mask)
+
+
+def _setup(rng, b=2, s=24):
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg)
+    vision_x = jnp.asarray(rng.standard_normal((b, 1, 1, 3, 28, 28)),
+                           jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (b, s)), np.int32)
+    ids[:, 1] = cfg.media_token_id
+    lang_x = jnp.asarray(ids)
+    params = model.init(jax.random.PRNGKey(0), vision_x, lang_x)["params"]
+    labels = np.full((b, s), -100, np.int32)
+    labels[:, 6:18] = ids[:, 6:18]
+    batch = {"vision_x": vision_x, "input_ids": lang_x,
+             "attention_mask": jnp.ones((b, s), jnp.int32),
+             "labels": jnp.asarray(labels)}
+    return cfg, model, params, batch
+
+
+def test_split_params_freezing_policy(rng):
+    cfg, model, params, _ = _setup(rng)
+    trainable, frozen = split_params(params, cfg)
+    t_flat = traverse_util.flatten_dict(trainable, sep="/")
+    f_flat = traverse_util.flatten_dict(frozen, sep="/")
+    # perceiver + xattn + wte trainable (modeling_otter.py:875-915)
+    assert any(k.startswith("perceiver/") for k in t_flat)
+    assert any("xattn_" in k for k in t_flat)
+    assert any(k.endswith("wte/embedding") for k in t_flat)
+    # vision encoder and decoder layers frozen
+    assert all(not k.startswith("vision_encoder/") for k in t_flat)
+    assert any(k.startswith("vision_encoder/") for k in f_flat)
+    assert all("xattn" in k or not k.startswith("lang_encoder/layers_")
+               for k in t_flat)
+    # round-trips
+    merged = merge_params(trainable, frozen)
+    assert (jax.tree_util.tree_structure(merged)
+            == jax.tree_util.tree_structure(params))
+
+
+def test_weight_decay_mask(rng):
+    cfg, model, params, _ = _setup(rng)
+    trainable, _ = split_params(params, cfg)
+    mask = traverse_util.flatten_dict(weight_decay_mask(trainable), sep="/")
+    assert any(v for k, v in mask.items() if "xattn_" in k and "to_q" in k)
+    assert not any(v for k, v in mask.items() if "attn_gate" in k)
+    assert not any(v for k, v in mask.items() if "norm" in k)
+    assert not any(v for k, v in mask.items() if k.startswith("perceiver"))
+
+
+def test_causal_lm_loss_masking():
+    logits = jnp.zeros((1, 4, 8))
+    labels = jnp.asarray([[-100, 2, -100, 3]])
+    loss, n = causal_lm_loss(logits, labels)
+    assert int(n) == 2
+    np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
+
+
+def test_train_step_decreases_loss_and_freezes(rng):
+    cfg, model, params, batch = _setup(rng)
+    trainable, frozen = split_params(params, cfg)
+    tx = make_optimizer(trainable, lr=1e-2, total_steps=50)
+    state = TrainState.create(params, cfg, tx)
+    step = jax.jit(make_train_step(model, cfg, tx, mask_embedding=True))
+
+    frozen_before = jax.tree_util.tree_leaves(state.frozen)
+    state1, m1 = step(state, batch)
+    losses = [float(m1["loss"])]
+    for _ in range(5):
+        state1, m = step(state1, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    # frozen params unchanged
+    for a, b in zip(frozen_before, jax.tree_util.tree_leaves(state1.frozen)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # embedding grad mask: only <answer> row (or eoc fallback) may change
+    wte0 = traverse_util.flatten_dict(trainable, sep="/")
+    wte1 = traverse_util.flatten_dict(state1.trainable, sep="/")
+    for k in wte0:
+        if k.endswith("wte/embedding"):
+            diff = np.abs(np.asarray(wte1[k]) - np.asarray(wte0[k])).sum(1)
+            changed = np.nonzero(diff > 0)[0]
+            allowed = {cfg.answer_token_id, cfg.eoc_token_id}
+            assert set(changed.tolist()) <= allowed, changed
+
+
+def test_sharded_train_step_8dev(rng):
+    cfg, model, params, batch = _setup(rng, b=4)
+    pcfg = ParallelConfig(dp=2, fsdp=2, tp=2)
+    mesh = create_mesh(pcfg, jax.devices()[:8])
+    with mesh:
+        params = shard_params(mesh, params)
+        trainable, _ = split_params(params, cfg)
+        tx = make_optimizer(trainable, lr=1e-3, total_steps=10)
+        state = TrainState.create(params, cfg, tx)
+        step = jax.jit(make_train_step(model, cfg, tx))
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_accumulation(rng):
+    cfg, model, params, batch = _setup(rng)
+    trainable, _ = split_params(params, cfg)
+    tx = make_optimizer(trainable, lr=1e-2, total_steps=50,
+                        grad_accum_steps=2)
+    state = TrainState.create(params, cfg, tx)
+    step = jax.jit(make_train_step(model, cfg, tx))
+    t0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    state, _ = step(state, batch)
+    t1 = jax.tree_util.tree_leaves(state.trainable)[0]
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))  # mid-accum
+    state, _ = step(state, batch)
+    t2 = jax.tree_util.tree_leaves(state.trainable)[0]
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
