@@ -39,13 +39,18 @@ def main():
     ids[:, 0] = cfg.media_token_id
     lang_x = jnp.asarray(ids)
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), vision_x, lang_x)
+    # Weight values are irrelevant for throughput: materialize zeros in bf16
+    # directly on device (on-device random init via the tunnel is minutes).
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), vision_x,
+                            lang_x)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                            if jnp.issubdtype(s.dtype, jnp.floating)
+                            else s.dtype), shapes)
 
-    # random init decodes never hit eos with eos=eoc (gates are 0 -> LM prior)
     gen = GenerationConfig(max_new_tokens=new, do_sample=False,
                            eos_token_id=-1)
-    eng = OtterGenerator(model, {"params": params["params"]}, cfg)
-    eng.params = params  # apply expects the full variables dict
+    eng = OtterGenerator(model, params, cfg)
     eng_generate = lambda: eng.generate(vision_x, lang_x, gen=gen)
 
     out = eng_generate()  # compile + warmup (generate returns np => synced)
