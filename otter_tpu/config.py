@@ -187,7 +187,7 @@ class OtterConfig(_JsonMixin):
                 norm_type="low_precision_layernorm" if arch == "mpt" else "rmsnorm",
                 act="gelu" if arch == "mpt" else "silu_glu",
                 intermediate_size=128,
-                tie_embeddings=(arch == "mpt"), no_bias=(arch == "mpt")),
+                tie_embeddings=(arch == "mpt"), no_bias=True),
             perceiver=PerceiverConfig(dim=64, depth=2, dim_head=16, heads=4,
                                       num_latents=8, max_num_frames=8),
             cross_attn_every_n_layers=2,
