@@ -1,0 +1,261 @@
+"""Model worker: hosts the jitted generation engine behind the streaming
+HTTP protocol of the reference worker (`pipeline/serve/model_worker.py`):
+
+  - registers with the controller and heartbeats every WORKER_HEART_BEAT
+    seconds (model_worker.py:44-52,120-155)
+  - /worker_generate_stream: base64 images -> vision_x (B,T,F,C,H,W)
+    (:181-206; a list-of-lists means one video, frames along F) ->
+    streaming decode -> `\\0`-delimited JSON {"text": cumulative,
+    "error_code": 0} chunks (:251-263)
+  - /worker_get_status (:164-168); concurrency semaphore (:156-160)
+
+The decode loop is otter_tpu's jitted streaming engine instead of a
+threaded HF generate + TextIteratorStreamer.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+import uuid
+from typing import Callable, Iterator, List, Optional
+
+import numpy as np
+
+WORKER_HEART_BEAT_INTERVAL = 15
+SERVER_ERROR_MSG = ("**NETWORK ERROR DUE TO HIGH TRAFFIC. PLEASE REGENERATE "
+                    "OR REFRESH THIS PAGE.**")
+
+
+def decode_images_to_vision_x(images, patch_size: int = 224,
+                              mean=None, std=None) -> Optional[np.ndarray]:
+    """base64 list -> [1, T, 1, C, H, W]; list-of-lists (video) ->
+    [1, 1, F, C, H, W] (model_worker.py:181-206)."""
+    from otter_tpu.data.mimicit import preprocess_image
+    from otter_tpu.data import templates
+    from PIL import Image
+    if not images:
+        return None
+    is_video = isinstance(images[0], list)
+    if is_video:
+        images = images[-1]
+    mean = mean or templates.FLAMINGO_MEAN
+    std = std or templates.FLAMINGO_STD
+    arrs = []
+    for b64 in images:
+        img = Image.open(io.BytesIO(
+            base64.urlsafe_b64decode(b64))).convert("RGB")
+        arrs.append(preprocess_image(img, patch_size, mean, std))
+    stack = np.stack(arrs, 0)            # [N, C, H, W]
+    if is_video:
+        return stack[None, None]         # [1, 1, F, C, H, W]
+    return stack[None, :, None]          # [1, T, 1, C, H, W]
+
+
+class ModelWorker:
+    def __init__(self, *, controller_addr: str, worker_addr: str,
+                 model_name: str,
+                 stream_fn: Callable[[dict], Iterator[str]],
+                 limit_model_concurrency: int = 5,
+                 no_register: bool = False):
+        """stream_fn(params) yields cumulative generated text."""
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = str(uuid.uuid4())[:6]
+        self.model_name = model_name
+        self.stream_fn = stream_fn
+        self.limit = limit_model_concurrency
+        self._active = 0
+        self._lock = threading.Lock()
+        if not no_register:
+            self.register_to_controller()
+            self.heart_beat_thread = threading.Thread(
+                target=self._heartbeat_loop, daemon=True)
+            self.heart_beat_thread.start()
+
+    # ── controller interaction ──────────────────────────────────────
+
+    def register_to_controller(self):
+        import requests
+        requests.post(self.controller_addr + "/register_worker", json={
+            "worker_name": self.worker_addr,
+            "check_heart_beat": True,
+            "worker_status": self.get_status(),
+        }, timeout=10)
+
+    def _heartbeat_loop(self):
+        import requests
+        while True:
+            time.sleep(WORKER_HEART_BEAT_INTERVAL)
+            try:
+                r = requests.post(
+                    self.controller_addr + "/receive_heart_beat",
+                    json={"worker_name": self.worker_addr,
+                          "queue_length": self.get_queue_length()},
+                    timeout=5)
+                if not r.json().get("exist"):
+                    self.register_to_controller()  # controller restarted
+            except Exception:
+                pass
+
+    def get_queue_length(self) -> int:
+        return max(self._active - self.limit, 0) + self._active
+
+    def get_status(self) -> dict:
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.get_queue_length()}
+
+    # ── generation ──────────────────────────────────────────────────
+
+    def generate_stream_gate(self, params: dict) -> Iterator[bytes]:
+        with self._lock:
+            self._active += 1
+        try:
+            for text in self.stream_fn(params):
+                yield json.dumps(
+                    {"text": text, "error_code": 0}).encode() + b"\0"
+        except ValueError as e:
+            yield json.dumps(
+                {"text": f"{SERVER_ERROR_MSG} ({e})",
+                 "error_code": 1}).encode() + b"\0"
+        except Exception as e:
+            yield json.dumps(
+                {"text": f"{SERVER_ERROR_MSG} ({type(e).__name__})",
+                 "error_code": 1}).encode() + b"\0"
+        finally:
+            with self._lock:
+                self._active -= 1
+
+
+def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
+    """Bridges the HTTP params to the jitted streaming engine."""
+    import jax.numpy as jnp
+    from otter_tpu.config import GenerationConfig
+
+    def stream_fn(params: dict) -> Iterator[str]:
+        prompt = params["prompt"]
+        vision_x = decode_images_to_vision_x(params.get("images"))
+        if vision_x is None:
+            vision_x = np.zeros((1, 1, 1, 3, 224, 224), np.float32)
+        gk = params.get("generation_kwargs", {})
+        gen = GenerationConfig(
+            max_new_tokens=int(gk.get("max_new_tokens", 512)),
+            do_sample=bool(gk.get("do_sample", False)),
+            temperature=float(gk.get("temperature", 1.0)),
+            top_k=int(gk.get("top_k", 0)),
+            top_p=float(gk.get("top_p", 1.0)),
+            no_repeat_ngram_size=int(gk.get("no_repeat_ngram_size", 0)),
+        )
+        enc = tokenizer(prompt, return_tensors="np")
+        lang_x = enc["input_ids"].astype(np.int32)
+        text, pending = "", []
+        for i, tok in enumerate(engine.stream_generate(
+                jnp.asarray(vision_x), lang_x, gen=gen)):
+            pending.append(tok)
+            if (i + 1) % stream_interval == 0:
+                text += tokenizer.decode(pending,
+                                         skip_special_tokens=True)
+                pending = []
+                yield text
+        if pending:
+            text += tokenizer.decode(pending, skip_special_tokens=True)
+        yield text
+
+    return stream_fn
+
+
+def build_app(worker: ModelWorker):
+    from aiohttp import web
+
+    async def worker_generate_stream(request):
+        params = await request.json()
+        resp = web.StreamResponse()
+        await resp.prepare(request)
+        loop = __import__("asyncio").get_event_loop()
+        gen = worker.generate_stream_gate(params)
+
+        def next_chunk():
+            try:
+                return next(gen)
+            except StopIteration:
+                return None
+
+        while True:
+            chunk = await loop.run_in_executor(None, next_chunk)
+            if chunk is None:
+                break
+            await resp.write(chunk)
+        return resp
+
+    async def worker_get_status(request):
+        return web.json_response(worker.get_status())
+
+    app = web.Application()
+    app.router.add_post("/worker_generate_stream", worker_generate_stream)
+    app.router.add_post("/worker_get_status", worker_get_status)
+    return app
+
+
+def main():
+    import argparse
+    from aiohttp import web
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=21002)
+    p.add_argument("--controller-address", default="http://localhost:21001")
+    p.add_argument("--worker-address", default=None)
+    p.add_argument("--model-name", default="otter")
+    p.add_argument("--checkpoint", required=True,
+                   help="HF-format Otter checkpoint dir/file")
+    p.add_argument("--config", default="mpt7b",
+                   choices=["mpt7b", "mpt1b", "llama7b-video"])
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--limit-model-concurrency", type=int, default=5)
+    p.add_argument("--load-bit", default="bf16",
+                   choices=["bf16", "fp32", "int8"])
+    p.add_argument("--no-register", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+    from otter_tpu import config as cfgmod
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.convert import load_otter_checkpoint
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.runtime.timing import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = {"mpt7b": cfgmod.otter_mpt7b, "mpt1b": cfgmod.otter_mpt1b,
+           "llama7b-video": cfgmod.otter_llama7b_video}[args.config]()
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
+             "int8": jnp.bfloat16}[args.load_bit]
+    model = OtterVLM(cfg, dtype=dtype)
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, 1, 3, 224, 224), dtype),
+        jnp.zeros((1, 8), jnp.int32))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, dtype
+                            if jnp.issubdtype(s.dtype, jnp.floating)
+                            else s.dtype), shapes)
+    params = load_otter_checkpoint(args.checkpoint, cfg, params, dtype=dtype)
+    engine = OtterGenerator(model, params, cfg)
+    stream_fn = make_otter_stream_fn(engine, tokenizer, cfg)
+
+    addr = args.worker_address or f"http://localhost:{args.port}"
+    worker = ModelWorker(
+        controller_addr=args.controller_address, worker_addr=addr,
+        model_name=args.model_name, stream_fn=stream_fn,
+        limit_model_concurrency=args.limit_model_concurrency,
+        no_register=args.no_register)
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Serving-stack tests: controller registry/dispatch/expiry, the worker
+streaming protocol over real HTTP (aiohttp on localhost), and conversation
+templates. A dummy stream_fn stands in for the model (the reference's own
+test_message.py smoke-test pattern)."""
+
+import base64
+import io
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from otter_tpu.serve.controller import (Controller, build_app as
+                                        controller_app)
+from otter_tpu.serve.conversation import otter_v1
+from otter_tpu.serve.worker import (ModelWorker, build_app as worker_app,
+                                    decode_images_to_vision_x)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_app(app, port):
+    """Run an aiohttp app in a daemon thread; returns when it accepts."""
+    import asyncio
+    from aiohttp import web
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        runner = web.AppRunner(app)
+        loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        loop.run_until_complete(site.start())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        try:
+            socket.create_connection(("127.0.0.1", port), 0.2).close()
+            return
+        except OSError:
+            time.sleep(0.05)
+    raise RuntimeError("server did not start")
+
+
+def test_controller_registry_and_dispatch():
+    statuses = {"http://w1": {"model_names": ["otter"], "speed": 1,
+                              "queue_length": 0},
+                "http://w2": {"model_names": ["otter"], "speed": 1,
+                              "queue_length": 5}}
+    c = Controller("shortest_queue", status_fetcher=statuses.get)
+    assert c.register_worker("http://w1", True, None)
+    assert c.register_worker("http://w2", True, statuses["http://w2"])
+    assert sorted(c.list_models()) == ["otter"]
+    # shortest queue picks w1 and bumps its queue
+    assert c.get_worker_address("otter") == "http://w1"
+    assert c.worker_info["http://w1"].queue_length == 1
+    assert c.get_worker_address("nope") == ""
+    # heartbeat + expiry
+    assert c.receive_heart_beat("http://w1", 3)
+    assert not c.receive_heart_beat("http://unknown", 0)
+    c.worker_info["http://w2"].last_heart_beat = time.time() - 10_000
+    c.remove_stale_workers_by_expiration()
+    assert "http://w2" not in c.worker_info
+
+
+def test_worker_streaming_http():
+    import requests
+
+    def dummy_stream(params):
+        text = ""
+        for w in ["a", "b", "c"]:
+            text += w
+            yield text
+
+    port = _free_port()
+    worker = ModelWorker(
+        controller_addr="", worker_addr=f"http://127.0.0.1:{port}",
+        model_name="otter", stream_fn=dummy_stream, no_register=True)
+    _run_app(worker_app(worker), port)
+
+    r = requests.post(f"http://127.0.0.1:{port}/worker_get_status",
+                      timeout=5)
+    assert r.json()["model_names"] == ["otter"]
+
+    r = requests.post(f"http://127.0.0.1:{port}/worker_generate_stream",
+                      json={"prompt": "hi"}, stream=True, timeout=10)
+    chunks = [json.loads(c) for c in
+              r.iter_lines(decode_unicode=False, delimiter=b"\0") if c]
+    assert [c["text"] for c in chunks] == ["a", "ab", "abc"]
+    assert all(c["error_code"] == 0 for c in chunks)
+
+
+def test_controller_worker_end_to_end():
+    import requests
+
+    def dummy_stream(params):
+        yield "hello " + params["prompt"]
+
+    wport, cport = _free_port(), _free_port()
+    worker_addr = f"http://127.0.0.1:{wport}"
+    worker = ModelWorker(controller_addr="", worker_addr=worker_addr,
+                         model_name="otter", stream_fn=dummy_stream,
+                         no_register=True)
+    _run_app(worker_app(worker), wport)
+
+    c = Controller("lottery")
+    _run_app(controller_app(c), cport)
+    ctrl = f"http://127.0.0.1:{cport}"
+
+    r = requests.post(ctrl + "/register_worker", json={
+        "worker_name": worker_addr, "check_heart_beat": True,
+        "worker_status": None}, timeout=10)
+    assert r.json()["exist"]
+
+    r = requests.post(ctrl + "/get_worker_address",
+                      json={"model": "otter"}, timeout=5)
+    assert r.json()["address"] == worker_addr
+
+    # controller-proxied streaming (controller.py:192-217 parity)
+    r = requests.post(ctrl + "/worker_generate_stream",
+                      json={"model": "otter", "prompt": "world"},
+                      stream=True, timeout=10)
+    chunks = [json.loads(x) for x in
+              r.iter_lines(decode_unicode=False, delimiter=b"\0") if x]
+    assert chunks[-1]["text"] == "hello world"
+
+
+def test_decode_images_to_vision_x(rng):
+    from PIL import Image
+    arr = (rng.random((10, 10, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+
+    vx = decode_images_to_vision_x([b64, b64], patch_size=16)
+    assert vx.shape == (1, 2, 1, 3, 16, 16)       # two images
+    vx = decode_images_to_vision_x([[b64, b64, b64]], patch_size=16)
+    assert vx.shape == (1, 1, 3, 3, 16, 16)       # one video, 3 frames
+    assert decode_images_to_vision_x([]) is None
+
+
+def test_conversation_prompt():
+    conv = otter_v1.copy()
+    conv.append_message("User", "<image>User: what is this? GPT:<answer>")
+    conv.append_message("GPT", None)
+    p = conv.get_prompt()
+    assert "what is this?" in p
+    assert conv.to_gradio_chatbot()[0][0].endswith("<answer>")
