@@ -65,8 +65,13 @@ def shard_batch(mesh: Mesh, tree):
     """Place a host pytree onto the mesh, sharded along the leading batch dim."""
     sh = batch_sharding(mesh)
 
+    n = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
+
     def put(x):
-        spec = P((DATA_AXIS, FSDP_AXIS), *([None] * (x.ndim - 1)))
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            spec = P((DATA_AXIS, FSDP_AXIS), *([None] * (x.ndim - 1)))
+        else:  # batch not divisible by the dp×fsdp extent: replicate
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, tree)

@@ -54,6 +54,8 @@ class CheckpointStore:
         """state: train.step.TrainState (or any pytree with
         .trainable/.frozen/.opt_state), saved sharded via orbax."""
         path = self._path(step)
+        if os.path.exists(path):  # re-saving the same step overwrites
+            shutil.rmtree(path)
         tree = {
             "step": np.asarray(step),
             "trainable": state.trainable,
