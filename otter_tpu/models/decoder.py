@@ -273,7 +273,7 @@ class Decoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, input_ids=None, *, inputs_embeds=None,
+    def __call__(self, input_ids=None, *, merge_embeds=None,
                  attention_mask=None, positions=None,
                  vis_latents=None, xattn_q_ids=None, xattn_kv_ids=None,
                  xattn_out_keep=None,
@@ -283,14 +283,19 @@ class Decoder(nn.Module):
         Prefill/training: cache=None (training) or a preallocated cache with
         cache_pos=None (prefill writes at offset 0). Decode: cache_pos set,
         kv_valid [B, L] marks attendable cache entries.
+
+        merge_embeds: optional (values [B,S,H], mask [B,S]) — positions where
+        mask is True take `values` instead of the token embedding (Fuyu image
+        patches; replaces the reference's gather_continuous_embeddings
+        scatter, fuyu/modeling_fuyu.py:44-77).
         """
         c = self.cfg
         embed = nn.Embed(c.total_vocab, c.hidden_size,
                          dtype=self.dtype, name="wte")
-        if inputs_embeds is None:
-            x = embed(input_ids)
-        else:
-            x = inputs_embeds.astype(self.dtype)
+        x = embed(input_ids)
+        if merge_embeds is not None:
+            values, vmask = merge_embeds
+            x = jnp.where(vmask[..., None], values.astype(x.dtype), x)
         b, s, _ = x.shape
 
         if c.pos == "learned":
