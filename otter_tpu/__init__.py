@@ -6,6 +6,10 @@ Luodian/Otter (Flamingo-style VLMs + Fuyu/OtterHD), designed TPU-first.
 
 __version__ = "0.1.0"
 
+from otter_tpu.api import (
+    FlamingoForConditionalGeneration,
+    OtterForConditionalGeneration,
+)
 from otter_tpu.config import (
     FuyuConfig,
     GenerationConfig,
