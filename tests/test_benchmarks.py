@@ -1,0 +1,159 @@
+"""Benchmark harness tests: registry loading, each dataset's scoring logic
+against a scripted dummy model, and the otter_image adapter end-to-end on
+the tiny model."""
+
+import numpy as np
+import pytest
+
+from otter_tpu.benchmarks.datasets.base_eval_dataset import (
+    AVAILABLE_EVAL_DATASETS, load_dataset)
+from otter_tpu.benchmarks.datasets.mmbench import match_choice
+from otter_tpu.benchmarks.datasets.mme import MMEDataset, parse_pred_ans
+from otter_tpu.benchmarks.datasets.pope import PopeDataset
+from otter_tpu.benchmarks.datasets.scienceqa import ScienceQADataset
+from otter_tpu.benchmarks.datasets.mathvista import (MathVistaDataset,
+                                                     answers_match,
+                                                     extract_answer)
+from otter_tpu.benchmarks.gpt_judge import heuristic_judge
+
+
+class ScriptedModel:
+    """Answers from a fixed mapping question->response."""
+
+    def __init__(self, answers):
+        self.answers = answers
+
+    def generate(self, question, image=None):
+        for k, v in self.answers.items():
+            if k in question:
+                return v
+        return "unknown"
+
+    def eval_forward(self, *a, **k):
+        return 0.0
+
+
+def test_registry_complete():
+    assert set(AVAILABLE_EVAL_DATASETS) == {
+        "mmbench", "mme", "mathvista", "mmvet", "seedbench", "pope",
+        "scienceqa", "magnifierbench"}
+
+
+def test_mme_scoring():
+    rows = [
+        {"id": "count_1", "instruction": "q1", "answer": "Yes",
+         "image_ids": ["i1"], "images": [None]},
+        {"id": "count_2", "instruction": "q2", "answer": "No",
+         "image_ids": ["i1"], "images": [None]},
+        {"id": "code_1", "instruction": "q3", "answer": "Yes",
+         "image_ids": ["i2"], "images": [None]},
+    ]
+    model = ScriptedModel({"q1": "Yes.", "q2": "yes", "q3": "No"})
+    ds = MMEDataset(rows=rows)
+    res = ds.evaluate(model)
+    cat = res["Perception"]["categories"]["count"]
+    assert cat["acc"] == 0.5 and cat["acc_plus"] == 0.0
+    assert res["Perception"]["total"] == 50.0
+    assert res["Cognition"]["categories"]["code"]["score"] == 0.0
+    assert parse_pred_ans("Yes, it is") == "yes"
+    assert parse_pred_ans("Nope") == "no"
+
+
+def test_pope_scoring():
+    rows = [
+        {"category": "random", "question": "is there a dog", "answer": "yes",
+         "image": None},
+        {"category": "random", "question": "is there a cat", "answer": "no",
+         "image": None},
+        {"category": "adversarial", "question": "is there a car",
+         "answer": "no", "image": None},
+    ]
+    model = ScriptedModel({"dog": "yes", "cat": "yes", "car": "no"})
+    res = PopeDataset(rows=rows).evaluate(model)
+    assert res["overall"]["accuracy"] == pytest.approx(2 / 3)
+    assert res["random"]["precision"] == pytest.approx(0.5)
+    assert res["overall"]["yes_ratio"] == pytest.approx(1 / 3)
+
+
+def test_match_choice():
+    opts = {"A": "red", "B": "blue"}
+    assert match_choice("A. red", opts, "A")
+    assert match_choice("(B) because...", opts, "B")
+    assert match_choice("the answer is red", opts, "A")
+    assert not match_choice("blue", opts, "A")
+
+
+def test_scienceqa_scoring():
+    rows = [{"question": "what color", "choices": ["red", "blue"],
+             "answer": 1, "hint": "", "image": None}]
+    model = ScriptedModel({"color": "B. blue"})
+    res = ScienceQADataset(rows=rows).evaluate(model)
+    assert res["accuracy"] == 1.0
+
+
+def test_mathvista_extraction_and_match():
+    assert extract_answer("The answer is 42.", "q", None) == "42"
+    assert answers_match("42", "42", "integer")
+    assert answers_match("3.14", "3.141", "float", precision=1)
+    assert not answers_match("41", "42", "integer")
+    model = ScriptedModel({"sum": "I think the result is 7"})
+    res = MathVistaDataset(rows=[{"question": "what is the sum",
+                                  "answer": "7",
+                                  "answer_type": "integer",
+                                  "image": None}]).evaluate(model)
+    assert res["accuracy"] == 1.0
+
+
+def test_heuristic_judge():
+    assert heuristic_judge("q", "A red ball.", "red ball")
+    assert not heuristic_judge("q", "a blue cube", "red ball")
+
+
+def test_evaluate_yaml_driver(tmp_path, monkeypatch):
+    """Registry-driven run via a monkeypatched dummy model module."""
+    import otter_tpu.benchmarks.models.base_model as bm
+
+    class DummyModel:
+        def __init__(self, **kw):
+            pass
+
+        def generate(self, q, img=None):
+            return "yes"
+
+        def eval_forward(self, *a, **k):
+            return 0.0
+
+    monkeypatch.setitem(bm.AVAILABLE_MODELS, "dummy", "DummyModel")
+    import types
+    mod = types.ModuleType("otter_tpu.benchmarks.models.dummy")
+    mod.DummyModel = DummyModel
+    import sys
+    sys.modules["otter_tpu.benchmarks.models.dummy"] = mod
+
+    from otter_tpu.benchmarks.evaluate import run
+    rows = [{"category": "random", "question": "dog?", "answer": "yes",
+             "image": None}]
+    config = {"models": [{"name": "dummy"}],
+              "datasets": [{"name": "pope", "rows": rows}]}
+    res = run(config, str(tmp_path))
+    assert res["dummy"]["pope"]["overall"]["accuracy"] == 1.0
+    assert any(f.startswith("summary_") for f in
+               __import__("os").listdir(tmp_path))
+
+
+def test_otter_image_adapter_tiny(rng):
+    import jax.numpy as jnp
+    from otter_tpu import OtterConfig, OtterForConditionalGeneration
+    from otter_tpu.benchmarks.models.otter_image import OtterImage
+    from helpers import TinyTokenizer
+    from PIL import Image
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterForConditionalGeneration(cfg, dtype=jnp.float32)
+    adapter = OtterImage(model=model, tok=TinyTokenizer(), patch_size=28,
+                         max_new_tokens=3)
+    img = Image.fromarray((rng.random((28, 28, 3)) * 255).astype(np.uint8))
+    out = adapter.generate("what is this?", img)
+    assert isinstance(out, str)
+    score = adapter.eval_forward("what is this?", "a thing", img)
+    assert np.isfinite(score)
