@@ -277,8 +277,10 @@ class Decoder(nn.Module):
                  attention_mask=None, positions=None,
                  vis_latents=None, xattn_q_ids=None, xattn_kv_ids=None,
                  xattn_out_keep=None,
-                 cache=None, cache_pos=None, kv_valid=None):
-        """Returns (logits [B, S, V], new_cache or None).
+                 cache=None, cache_pos=None, kv_valid=None,
+                 output_hidden=False):
+        """Returns (logits [B, S, V], new_cache or None); with
+        output_hidden=True also the final hidden states (for value heads).
 
         Prefill/training: cache=None (training) or a preallocated cache with
         cache_pos=None (prefill writes at offset 0). Decode: cache_pos set,
@@ -364,6 +366,8 @@ class Decoder(nn.Module):
                               dtype=self.dtype, name="lm_head")(x)
         if c.logit_scale is not None:
             logits = logits * c.logit_scale
+        if output_hidden:
+            return logits, new_cache, x
         return logits, new_cache
 
 

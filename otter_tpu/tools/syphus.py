@@ -1,0 +1,149 @@
+"""Syphus: LLM-driven instruction/response generation for MIMIC-IT.
+
+Rebuild of `mimic-it/syphus/` (abstract_dataset.py, main.py:19-70,
+file_utils.py): prompt JSONs ({system_message, in_context: [{role,
+content}]}) + per-dataset query inputs -> chat-completion requests (any
+OpenAI-compatible endpoint, the reference uses LiteLLM) -> parsed
+instruction/answer pairs, threaded, checkpointed to JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from abc import ABC, abstractmethod
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+AVAILABLE_DATASETS = [
+    "change.SpotTheDifference", "change.CocoSpotTheDifference",
+    "video.DenseCaptions", "video.TVCaptions", "video.VisualStoryTelling",
+    "3d.SceneNavigation", "funqa.FunQA_translation", "funqa.FunQA_mcqa",
+    "funqa.FunQA_dia", "fpv.EGO4D", "translate.Translation",
+]
+
+
+def load_prompt(path: str) -> Dict[str, Any]:
+    """Prompt JSON -> {system_message, in_context messages} with assistant
+    QA pairs flattened to strings (abstract_dataset.py:28-52)."""
+    with open(path) as f:
+        data = json.load(f)
+    in_context = []
+    for conv in data["in_context"]:
+        role, content = conv["role"], conv["content"]
+        if role == "assistant" and not isinstance(content, str):
+            parts = []
+            for qa in content:
+                for prefix, text in qa.items():
+                    parts.append(f"{prefix}: {text}")
+            content = "\n".join(parts) + "\n"
+        elif role not in ("user", "assistant"):
+            raise ValueError("only user/assistant roles allowed")
+        in_context.append({"role": role, "content": content})
+    return {"system_message": data["system_message"],
+            "in_context": in_context}
+
+
+class AbstractDataset(ABC):
+    """Per-dataset adapter: yields annotation strings to be turned into
+    instruction/answer pairs."""
+
+    def __init__(self, name: str, prompt_path: str, query_inputs_path: str):
+        self.name = name
+        self.prompt = load_prompt(prompt_path)
+        self.query_inputs = self._load_query_inputs(query_inputs_path)
+
+    @abstractmethod
+    def _load_query_inputs(self, path: str) -> List[Dict[str, str]]:
+        """-> [{id, sentences}]."""
+
+    def __len__(self):
+        return len(self.query_inputs)
+
+    def __iter__(self) -> Iterator[Dict[str, str]]:
+        return iter(self.query_inputs)
+
+
+class JsonAnnotationsDataset(AbstractDataset):
+    """Generic adapter for {id: annotation-text} JSON files."""
+
+    def _load_query_inputs(self, path: str) -> List[Dict[str, str]]:
+        with open(path) as f:
+            data = json.load(f)
+        return [{"id": k, "sentences": v if isinstance(v, str)
+                 else json.dumps(v)} for k, v in data.items()]
+
+
+def parse_qa_pairs(response: str) -> List[Dict[str, str]]:
+    """'instruction: ...\\nanswer: ...' blocks -> [{instruction, answer}]."""
+    pairs = []
+    pattern = re.compile(
+        r"(?:instruction|question)\s*:\s*(.*?)\s*"
+        r"(?:answer|response)\s*:\s*(.*?)(?=(?:instruction|question)\s*:|$)",
+        re.IGNORECASE | re.DOTALL)
+    for m in pattern.finditer(response):
+        ins, ans = m.group(1).strip(), m.group(2).strip()
+        if ins and ans:
+            pairs.append({"instruction": ins, "answer": ans})
+    return pairs
+
+
+def openai_chat_fn(api_key: Optional[str] = None,
+                   model: str = "gpt-4",
+                   base_url: str = "https://api.openai.com/v1"
+                   ) -> Callable[[List[dict]], str]:
+    """Chat-completion callable for any OpenAI-compatible endpoint
+    (the LiteLLM role in the reference, syphus/file_utils.py:53)."""
+    import requests
+    key = api_key or os.environ.get("OPENAI_API_KEY", "")
+
+    def fn(messages: List[dict]) -> str:
+        r = requests.post(
+            f"{base_url}/chat/completions",
+            headers={"Authorization": f"Bearer {key}"},
+            json={"model": model, "messages": messages}, timeout=120)
+        r.raise_for_status()
+        return r.json()["choices"][0]["message"]["content"]
+
+    return fn
+
+
+def generate_instructions(dataset: AbstractDataset,
+                          chat_fn: Callable[[List[dict]], str],
+                          *, num_threads: int = 8,
+                          output_path: Optional[str] = None) -> Dict:
+    """Self-instruct loop (syphus/main.py:19-70): system message +
+    in-context examples + annotation -> QA pairs; threaded; returns the
+    MIMIC-IT instruction JSON {"data": {id: {instruction, answer, ...}}}."""
+
+    def query(item):
+        messages = ([{"role": "system",
+                      "content": dataset.prompt["system_message"]}]
+                    + dataset.prompt["in_context"]
+                    + [{"role": "user", "content": item["sentences"]}])
+        try:
+            response = chat_fn(messages)
+        except Exception as e:
+            return item["id"], [], str(e)
+        return item["id"], parse_qa_pairs(response), None
+
+    data = {}
+    errors = {}
+    with ThreadPoolExecutor(num_threads) as pool:
+        for qid, pairs, err in pool.map(query, dataset):
+            if err:
+                errors[qid] = err
+                continue
+            for i, pair in enumerate(pairs):
+                data[f"{dataset.name}_{qid}_{i}"] = {
+                    "instruction": pair["instruction"],
+                    "answer": pair["answer"],
+                    "image_ids": [qid],
+                    "rel_ins_ids": [],
+                }
+    result = {"data": data, "errors": errors}
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump(result, f)
+    return result
