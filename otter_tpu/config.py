@@ -126,6 +126,9 @@ class TextConfig(_JsonMixin):
     clip_qkv: Optional[float] = None
     logit_scale: Optional[float] = None
     act: str = "gelu"                  # "gelu" | "silu_glu" | "sq_relu"
+    # weight-only quantization of decoder attn/ffn kernels: None | "int8"
+    # (serving load_bit parity, model_worker.py:91-100)
+    quant: Optional[str] = None
     # extra rows appended to the embedding for special tokens (<image>, <answer>,
     # <|endofchunk|>, <PAD>); reference resizes llama embeddings
     # (`modeling_otter.py:573-575`).

@@ -91,33 +91,30 @@ class SelfAttention(nn.Module):
 
         Returns (out [B,S,D], new_cache_entry or None).
         """
+        from otter_tpu.ops.quant import make_dense
         c = self.cfg
         b, s, d_model = x.shape
         h, hk, d = c.num_attention_heads, c.kv_heads, c.head_dim
         use_bias = not c.no_bias
+        dense = lambda feat, name: make_dense(
+            c.quant, feat, use_bias=use_bias, dtype=self.dtype, name=name)
 
         if c.arch in ("mpt", "mosaic_gpt"):
-            qkv = nn.Dense(3 * d_model, use_bias=use_bias, dtype=self.dtype,
-                           name="Wqkv")(x)
+            qkv = dense(3 * d_model, "Wqkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         elif c.arch == "falcon":
             # fused multiquery layout: [q (h*d) | k (hk*d) | v (hk*d)]
-            qkv = nn.Dense((h + 2 * hk) * d, use_bias=use_bias,
-                           dtype=self.dtype, name="Wqkv")(x)
+            qkv = dense((h + 2 * hk) * d, "Wqkv")(x)
             q = qkv[..., : h * d]
             k = qkv[..., h * d: (h + hk) * d]
             v = qkv[..., (h + hk) * d:]
         elif c.arch == "persimmon":
-            qkv = nn.Dense(3 * d_model, use_bias=use_bias, dtype=self.dtype,
-                           name="Wqkv")(x)
+            qkv = dense(3 * d_model, "Wqkv")(x)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:  # llama
-            q = nn.Dense(h * d, use_bias=use_bias, dtype=self.dtype,
-                         name="q_proj")(x)
-            k = nn.Dense(hk * d, use_bias=use_bias, dtype=self.dtype,
-                         name="k_proj")(x)
-            v = nn.Dense(hk * d, use_bias=use_bias, dtype=self.dtype,
-                         name="v_proj")(x)
+            q = dense(h * d, "q_proj")(x)
+            k = dense(hk * d, "k_proj")(x)
+            v = dense(hk * d, "v_proj")(x)
 
         if c.clip_qkv:
             q = jnp.clip(q, -c.clip_qkv, c.clip_qkv)
@@ -172,8 +169,7 @@ class SelfAttention(nn.Module):
                 new_cache = {"k": ck, "v": cv}
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        out = nn.Dense(d_model, use_bias=use_bias, dtype=self.dtype,
-                       name="out_proj")(out)
+        out = dense(d_model, "out_proj")(out)
         return out, new_cache
 
     def _scale(self):
@@ -218,10 +214,11 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from otter_tpu.ops.quant import make_dense
         c = self.cfg
         use_bias = not c.no_bias
-        dense = lambda feat, name: nn.Dense(feat, use_bias=use_bias,
-                                            dtype=self.dtype, name=name)
+        dense = lambda feat, name: make_dense(
+            c.quant, feat, use_bias=use_bias, dtype=self.dtype, name=name)
         if c.act == "silu_glu":
             gate = ACTIVATIONS["silu"](dense(c.mlp_dim, "gate_proj")(x))
             up = dense(c.mlp_dim, "up_proj")(x)

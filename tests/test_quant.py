@@ -1,0 +1,56 @@
+"""Quantization + precision-policy tests: int8 decoder output close to the
+f32 decoder, param tree structurally valid, bf16 cast keeps norms in f32."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+from otter_tpu.config import OtterConfig
+from otter_tpu.models.decoder import Decoder
+from otter_tpu.ops.quant import quantize_kernel, quantize_params
+from otter_tpu.parallel.precision import cast_params, param_bytes
+
+
+def test_quantize_kernel_roundtrip(rng):
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q, scale = quantize_kernel(w)
+    deq = q.astype(np.float32) * scale[None, :]
+    assert np.abs(deq - w).max() < np.abs(w).max() / 100
+
+
+def test_int8_decoder_close_to_f32(rng):
+    cfg = OtterConfig.tiny("mpt").text
+    m32 = Decoder(cfg)
+    ids = jnp.asarray(rng.integers(0, 200, (2, 16)), jnp.int32)
+    params = m32.init(jax.random.PRNGKey(0), ids)["params"]
+    logits32, _ = m32.apply({"params": params}, ids)
+
+    qparams = quantize_params(params)
+    flat = traverse_util.flatten_dict(qparams, sep="/")
+    assert any(k.endswith("kernel_q") for k in flat)
+    assert not any("layers_0/attn/Wqkv/kernel" == k for k in flat)
+
+    mq = Decoder(cfg.replace(quant="int8"))
+    logitsq, _ = mq.apply({"params": qparams}, ids)
+    # int8 weight error is small relative to logit scale
+    scale = float(jnp.std(logits32))
+    err = float(jnp.max(jnp.abs(logitsq.astype(jnp.float32) - logits32)))
+    assert err < 0.15 * max(scale, 1.0), (err, scale)
+
+
+def test_cast_params_policy(rng):
+    cfg = OtterConfig.tiny("mpt").text
+    m = Decoder(cfg)
+    ids = jnp.asarray(rng.integers(0, 200, (1, 8)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), ids)["params"]
+    before = param_bytes(params)
+    cast = cast_params(params, jnp.bfloat16)
+    after = param_bytes(cast)
+    assert after < before * 0.6
+    flat = traverse_util.flatten_dict(cast, sep="/")
+    for k, v in flat.items():
+        if k.endswith("/scale") or k.endswith("norm_f/scale"):
+            assert v.dtype == jnp.float32, k
+        if k.endswith("Wqkv/kernel"):
+            assert v.dtype == jnp.bfloat16, k
