@@ -129,6 +129,10 @@ class TextConfig(_JsonMixin):
     # weight-only quantization of decoder attn/ffn kernels: None | "int8"
     # (serving load_bit parity, model_worker.py:91-100)
     quant: Optional[str] = None
+    # LoRA adapters on the per-arch target projections (enable_lora parity,
+    # modeling_otter.py:808-829); 0 disables
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
     # extra rows appended to the embedding for special tokens (<image>, <answer>,
     # <|endofchunk|>, <PAD>); reference resizes llama embeddings
     # (`modeling_otter.py:573-575`).

@@ -201,16 +201,33 @@ class MimicitDataset:
 
     def _load_patch_images(self, image_ids: Sequence[str],
                            is_video: bool) -> np.ndarray:
-        """-> [T, F, 3, H, W] float32 (T media slots, F frames)."""
+        """-> [T, F, 3, H, W] float32 (T media slots, F frames).
+
+        Uses the native C++ batch decoder (otter_tpu/native) when available,
+        falling back to PIL per-image on build failure or decode errors."""
         if is_video:
             image_ids = resample_frames(image_ids, self.resample_frames_to)
-        imgs = [preprocess_image(
-            decode_base64_image(self.images.get(i)),
-            self.patch_image_size, self.mean, self.std) for i in image_ids]
-        stack = np.stack(imgs, 0)                  # [N, 3, H, W]
+        stack = self._decode_batch([self.images.get(i) for i in image_ids])
         if is_video:
             return stack[None]                     # [1, F, 3, H, W]
         return stack[:, None]                      # [T, 1, 3, H, W]
+
+    def _decode_batch(self, b64_list: Sequence[str]) -> np.ndarray:
+        try:
+            from otter_tpu import native
+            if native.available():
+                out, status = native.preprocess_batch(
+                    [s.encode() if isinstance(s, str) else s
+                     for s in b64_list],
+                    self.patch_image_size, tuple(self.mean),
+                    tuple(self.std), is_base64=True)
+                if (status == 0).all():
+                    return out
+        except Exception:
+            pass
+        return np.stack([preprocess_image(
+            decode_base64_image(s), self.patch_image_size, self.mean,
+            self.std) for s in b64_list], 0)
 
     def __getitem__(self, index: int) -> dict:
         rng = random.Random((self.seed, self.epoch, index).__hash__())

@@ -302,6 +302,13 @@ def load_otter_checkpoint(path: str, cfg: OtterConfig, params: Dict,
     import jax.numpy as jnp
     n_loaded = 0
     for k, v in converted.items():
+        if k not in flat:
+            # LoRA-wrapped projections nest the frozen kernel under base/
+            for alt in (k.replace("/kernel", "/base/kernel"),
+                        k.replace("/bias", "/base/bias")):
+                if alt in flat:
+                    k = alt
+                    break
         if k in flat:
             if tuple(flat[k].shape) != tuple(v.shape):
                 raise ValueError(f"shape mismatch for {k}: "

@@ -91,13 +91,13 @@ class SelfAttention(nn.Module):
 
         Returns (out [B,S,D], new_cache_entry or None).
         """
-        from otter_tpu.ops.quant import make_dense
+        from otter_tpu.ops.lora import maybe_lora_dense
         c = self.cfg
         b, s, d_model = x.shape
         h, hk, d = c.num_attention_heads, c.kv_heads, c.head_dim
         use_bias = not c.no_bias
-        dense = lambda feat, name: make_dense(
-            c.quant, feat, use_bias=use_bias, dtype=self.dtype, name=name)
+        dense = lambda feat, name: maybe_lora_dense(
+            c, feat, use_bias=use_bias, dtype=self.dtype, name=name)
 
         if c.arch in ("mpt", "mosaic_gpt"):
             qkv = dense(3 * d_model, "Wqkv")(x)

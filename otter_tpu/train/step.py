@@ -39,6 +39,9 @@ def path_is_trainable(path: str, text_tied: bool) -> bool:
         return True
     if not text_tied and "lm_head" in parts:
         return True
+    # LoRA adapters train (modeling_otter.py:895-898)
+    if parts[-1] in ("lora_a", "lora_b"):
+        return True
     return False
 
 
