@@ -209,6 +209,33 @@ def _llama_rules(wrapped: bool) -> Iterable[Tuple[str, str, Any]]:
            "lang_encoder/layers_{0}/norm_2/scale", None)
 
 
+def _falcon_rules(wrapped: bool) -> Iterable[Tuple[str, str, Any]]:
+    """Falcon/RW decoder (reference `falcon/modelling_RW.py:507+`:
+    transformer.word_embeddings / h.N.self_attention.query_key_value /
+    .dense / mlp.dense_h_to_4h / dense_4h_to_h / input_layernorm / ln_f)."""
+    mid = r"\.decoder_layer\." if wrapped else r"\."
+    p = r"lang_encoder\.transformer\."
+    yield (p + r"word_embeddings\.weight", "lang_encoder/wte/embedding",
+           None)
+    yield (p + r"ln_f\.weight", "lang_encoder/norm_f/scale", None)
+    yield (p + r"ln_f\.bias", "lang_encoder/norm_f/bias", None)
+    yield (r"lang_encoder\.lm_head\.weight", "lang_encoder/lm_head/kernel",
+           _t)
+    b = p + r"h\.(\d+)" + mid
+    yield (b + r"self_attention\.query_key_value\.weight",
+           "lang_encoder/layers_{0}/attn/Wqkv/kernel", _t)
+    yield (b + r"self_attention\.dense\.weight",
+           "lang_encoder/layers_{0}/attn/out_proj/kernel", _t)
+    yield (b + r"mlp\.dense_h_to_4h\.weight",
+           "lang_encoder/layers_{0}/ffn/up_proj/kernel", _t)
+    yield (b + r"mlp\.dense_4h_to_h\.weight",
+           "lang_encoder/layers_{0}/ffn/down_proj/kernel", _t)
+    yield (b + r"input_layernorm\.weight",
+           "lang_encoder/layers_{0}/norm_1/scale", None)
+    yield (b + r"input_layernorm\.bias",
+           "lang_encoder/layers_{0}/norm_1/bias", None)
+
+
 def otter_rules(cfg: OtterConfig, wrapped: bool = True):
     rules = list(_clip_rules()) + list(_perceiver_rules())
     if cfg.text.arch in ("mpt", "mosaic_gpt"):
@@ -218,9 +245,86 @@ def otter_rules(cfg: OtterConfig, wrapped: bool = True):
     elif cfg.text.arch == "llama":
         rules += list(_xattn_rules(r"lang_encoder\.model", "layers"))
         rules += list(_llama_rules(wrapped))
+    elif cfg.text.arch == "falcon":
+        rules += list(_xattn_rules(r"lang_encoder\.transformer", "h"))
+        rules += list(_falcon_rules(wrapped))
     else:
         raise NotImplementedError(cfg.text.arch)
     return [(re.compile(pat + r"$"), tmpl, tr) for pat, tmpl, tr in rules]
+
+
+def fuyu_rules() -> list:
+    """adept/fuyu-8b checkpoint names -> FuyuVLM param paths
+    (reference `fuyu/modeling_fuyu.py`/`modeling_persimmon.py` attribute
+    names)."""
+    rules = [
+        (r"vision_embed_tokens\.weight", "vision_embed_tokens/kernel", _t),
+        (r"vision_embed_tokens\.bias", "vision_embed_tokens/bias", None),
+        (r"language_model\.model\.embed_tokens\.weight",
+         "language_model/wte/embedding", None),
+        (r"language_model\.model\.final_layernorm\.weight",
+         "language_model/norm_f/scale", None),
+        (r"language_model\.model\.final_layernorm\.bias",
+         "language_model/norm_f/bias", None),
+        (r"language_model\.lm_head\.weight",
+         "language_model/lm_head/kernel", _t),
+    ]
+    b = r"language_model\.model\.layers\.(\d+)\."
+    rules += [
+        (b + r"self_attn\.query_key_value\.weight",
+         "language_model/layers_{0}/attn/Wqkv/kernel", _t),
+        (b + r"self_attn\.query_key_value\.bias",
+         "language_model/layers_{0}/attn/Wqkv/bias", None),
+        (b + r"self_attn\.dense\.weight",
+         "language_model/layers_{0}/attn/out_proj/kernel", _t),
+        (b + r"self_attn\.dense\.bias",
+         "language_model/layers_{0}/attn/out_proj/bias", None),
+        (b + r"self_attn\.q_layernorm\.weight",
+         "language_model/layers_{0}/attn/q_ln/scale", None),
+        (b + r"self_attn\.q_layernorm\.bias",
+         "language_model/layers_{0}/attn/q_ln/bias", None),
+        (b + r"self_attn\.k_layernorm\.weight",
+         "language_model/layers_{0}/attn/k_ln/scale", None),
+        (b + r"self_attn\.k_layernorm\.bias",
+         "language_model/layers_{0}/attn/k_ln/bias", None),
+        (b + r"mlp\.dense_h_to_4h\.weight",
+         "language_model/layers_{0}/ffn/up_proj/kernel", _t),
+        (b + r"mlp\.dense_h_to_4h\.bias",
+         "language_model/layers_{0}/ffn/up_proj/bias", None),
+        (b + r"mlp\.dense_4h_to_h\.weight",
+         "language_model/layers_{0}/ffn/down_proj/kernel", _t),
+        (b + r"mlp\.dense_4h_to_h\.bias",
+         "language_model/layers_{0}/ffn/down_proj/bias", None),
+        (b + r"input_layernorm\.weight",
+         "language_model/layers_{0}/norm_1/scale", None),
+        (b + r"input_layernorm\.bias",
+         "language_model/layers_{0}/norm_1/bias", None),
+        (b + r"post_attention_layernorm\.weight",
+         "language_model/layers_{0}/norm_2/scale", None),
+        (b + r"post_attention_layernorm\.bias",
+         "language_model/layers_{0}/norm_2/bias", None),
+    ]
+    return [(re.compile(p + r"$"), tmpl, tr) for p, tmpl, tr in rules]
+
+
+def fuyu_hf_to_flax(state_dict: Dict[str, np.ndarray], *, dtype=None,
+                    strict: bool = False) -> Dict[str, np.ndarray]:
+    rules = fuyu_rules()
+    out, unmatched = {}, []
+    for name, arr in state_dict.items():
+        for pat, tmpl, tr in rules:
+            m = pat.fullmatch(name)
+            if m:
+                val = tr(arr) if tr else np.asarray(arr)
+                if dtype is not None:
+                    val = val.astype(dtype)
+                out[tmpl.format(*m.groups())] = val
+                break
+        else:
+            unmatched.append(name)
+    if strict and unmatched:
+        raise KeyError(f"unmatched fuyu keys: {unmatched[:20]}")
+    return out
 
 
 def hf_to_flax(state_dict: Dict[str, np.ndarray], cfg: OtterConfig,
