@@ -153,7 +153,7 @@ class OtterGenerator:
                  rng: Optional[jax.Array] = None) -> np.ndarray:
         """vision_x [B,T,F,C,H,W]; lang_x [B,P] LEFT-padded (use `left_pad`).
         Returns [B, P + max_new_tokens] (prompt + generation, eos-terminated,
-        pad-filled)."""
+        pad-filled). num_beams > 1 dispatches to jitted beam search."""
         gen = gen or GenerationConfig()
         lang_x = jnp.asarray(lang_x)
         b, p = lang_x.shape
@@ -161,6 +161,14 @@ class OtterGenerator:
             attention_mask = jnp.ones((b, p), jnp.int32)
         attention_mask = jnp.asarray(attention_mask)
         cache_len = _round_up(p + gen.max_new_tokens, 128)
+        if gen.num_beams > 1:
+            key = ("beam", b, p, cache_len, gen)
+            if key not in self._loop_fns:
+                self._loop_fns[key] = self._build_beam_generate(
+                    b, p, cache_len, gen)
+            out = self._loop_fns[key](self.params, vision_x, lang_x,
+                                      attention_mask)
+            return np.concatenate([np.asarray(lang_x), np.asarray(out)], 1)
         key = (b, p, cache_len, gen)
         if key not in self._loop_fns:
             self._loop_fns[key] = self._build_generate(b, p, cache_len, gen)
@@ -169,6 +177,50 @@ class OtterGenerator:
         out, _ = self._loop_fns[key](self.params, vision_x, lang_x,
                                      attention_mask, rng)
         return np.asarray(out)
+
+    def _build_beam_generate(self, b: int, p: int, cache_len: int,
+                             gen: GenerationConfig):
+        """Beam search: inputs tiled to B*K before prefill (the reference's
+        repeat_interleave for beams, modeling_otter.py:1030-1032), then the
+        jitted candidate-expansion loop in generation/beam.py."""
+        from otter_tpu.generation.beam import beam_search
+        k = gen.num_beams
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+
+        def run(params, vision_x, lang_x, attention_mask):
+            vx = jnp.repeat(vision_x, k, axis=0)
+            lx = jnp.repeat(lang_x, k, axis=0)
+            am = jnp.repeat(attention_mask, k, axis=0)
+            cache = init_cache(self.cfg.text, b * k, cache_len,
+                               self.cache_dtype)
+            last_logits, cache, vis_latents = self._prefill(
+                params, vx, lx, am, cache)
+            media_counts = jnp.sum(
+                (lx == self.cfg.media_token_id).astype(jnp.int32), axis=-1)
+            real_len = jnp.sum(am.astype(jnp.int32), axis=-1)
+            kv_valid0 = jnp.concatenate(
+                [am.astype(bool),
+                 jnp.zeros((b * k, cache_len - p), bool)], axis=-1)
+            init_logits = last_logits[::k]                  # [B, V]
+
+            def step_fn(tok, cache, t):
+                kv_valid = kv_valid0 | (
+                    jnp.arange(cache_len)[None] < p + t)
+                positions = (real_len + t - 1)[:, None].astype(jnp.int32)
+                logits, cache = self._step(
+                    params, tok, cache, p + t - 1, kv_valid, positions,
+                    vis_latents, media_counts)
+                return logits, cache
+
+            out, _ = beam_search(
+                step_fn, init_logits, cache, num_beams=k,
+                max_new_tokens=gen.max_new_tokens, eos_token_id=eos,
+                pad_token_id=gen.pad_token_id,
+                length_penalty=gen.length_penalty)
+            return out
+
+        return jax.jit(run)
 
     # ── streaming generate (serving) ─────────────────────────────────
 
