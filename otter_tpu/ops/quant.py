@@ -34,8 +34,11 @@ class Int8Dense(nn.Module):
                               (in_features, self.features), jnp.int8)
         scale = self.param("scale_q", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        w = kernel_q.astype(self.dtype) * scale.astype(self.dtype)[None, :]
-        y = jnp.dot(x.astype(self.dtype), w)
+        # scale on the OUTPUT side: the int8->bf16 convert then fuses into
+        # the dot's operand read (no dequantized weight materialization,
+        # HBM traffic stays at 1 byte/weight)
+        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+        y = y * scale.astype(self.dtype)[None, :]
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
