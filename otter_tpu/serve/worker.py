@@ -135,11 +135,15 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
     import jax.numpy as jnp
     from otter_tpu.config import GenerationConfig
 
+    patch_size = cfg.vision.image_size
+
     def stream_fn(params: dict) -> Iterator[str]:
         prompt = params["prompt"]
-        vision_x = decode_images_to_vision_x(params.get("images"))
+        vision_x = decode_images_to_vision_x(params.get("images"),
+                                             patch_size=patch_size)
         if vision_x is None:
-            vision_x = np.zeros((1, 1, 1, 3, 224, 224), np.float32)
+            vision_x = np.zeros((1, 1, 1, 3, patch_size, patch_size),
+                                np.float32)
         gk = params.get("generation_kwargs", {})
         gen = GenerationConfig(
             max_new_tokens=int(gk.get("max_new_tokens", 512)),
