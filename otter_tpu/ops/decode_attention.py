@@ -1,0 +1,142 @@
+"""Pallas decode attention: q_len==1 against a contiguous KV cache.
+
+The XLA einsum decode path reads the full max_len cache every step; this
+kernel skips KV blocks beyond the per-row valid length (the paged-attention
+length-guard pattern, jax.experimental.pallas.ops.tpu.paged_attention),
+which matters once serving contexts grow: HBM traffic scales with the
+actual context, not the cache allocation.
+
+Layout: q [B, H, D], k/v cache [B, H, L, D], lengths [B] (valid entries,
+i.e. pos+1). Additive bias per (b, h) column supported (ALiBi decode form).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
+
+NUM_LANES = 128
+
+
+def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
+                     sm_scale=None, block_k: int = 512,
+                     mask_value: float = DEFAULT_MASK_VALUE,
+                     interpret: bool = False):
+    """q [B, H, D]; k/v [B, H, L, D]; lengths [B] int32; optional column
+    bias [B|1, H|1, L] (ALiBi decode form). -> [B, H, D].
+
+    Grid (B, H, L//block_k); the single query row is replicated to the
+    8-sublane minimum tile; KV blocks past `lengths[b]` or before
+    `starts[b]` (left padding) are skipped entirely (no HBM read).
+    """
+    bsz, h, d = q.shape
+    L = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    block_k = min(block_k, L)
+    while L % block_k:
+        block_k //= 2
+    num_kv = L // block_k
+    has_bias = bias is not None
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+
+    # q rows tiled to the 8-sublane minimum per (b, h)
+    q8 = jnp.broadcast_to(q[:, :, None, :], (bsz, h, 8, d))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 8, d), lambda b, hh, j, *_: (b, hh, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, hh, j, *_: (b, hh, j, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b, hh, j, *_: (b, hh, j, 0)),
+    ]
+    args = [q8, k, v]
+    if has_bias:
+        bb, bh = bias.shape[0], bias.shape[1]
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_k),
+            lambda b, hh, j, *_, bb=bb, bh=bh: (b if bb > 1 else 0,
+                                            hh if bh > 1 else 0, j)))
+        args.append(bias.astype(jnp.float32))
+
+    def kernel(lengths_ref, starts_ref, *refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr = \
+                refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+            bias_ref = None
+        b = pl.program_id(0)
+        j = pl.program_id(2)
+        length = lengths_ref[b]
+        start = starts_ref[b]
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        @pl.when((j * block_k < length) & ((j + 1) * block_k > start))
+        def _body():
+            qq = q_ref[0, 0]                  # [8, D]
+            kk = k_ref[0, 0]                  # [block_k, D]
+            s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            s *= sm_scale                     # [8, block_k]
+            if bias_ref is not None:
+                s += bias_ref[0, 0][None, :]
+            cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            s = jnp.where((cols < length) & (cols >= start), s, mask_value)
+
+            m_prev, l_prev = m_scr[...], l_scr[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, lax.broadcast_in_dim(
+                m_curr, m_prev.shape, (0, 1)))
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - lax.broadcast_in_dim(m_next[:, :1], s.shape,
+                                                 (0, 1)))
+            l_next = alpha * l_prev + lax.broadcast_in_dim(
+                jnp.sum(p, axis=1, keepdims=True), l_prev.shape, (0, 1))
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            vv = v_ref[0, 0]
+            o_curr = lax.dot_general(p.astype(vv.dtype), vv,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_scr[...] = acc_scr[...] * lax.broadcast_in_dim(
+                alpha[:, :1], acc_scr.shape, (0, 1)) + o_curr
+
+        @pl.when(j == num_kv - 1)
+        def _store():
+            l = l_scr[...]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, 0] = (acc_scr[...] * lax.broadcast_in_dim(
+                l_inv[:, :1], acc_scr.shape, (0, 1))).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(bsz, h, num_kv),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, 8, d),
+                                   lambda b, hh, j, *_: (b, hh, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((8, NUM_LANES), jnp.float32),
+                pltpu.VMEM((8, NUM_LANES), jnp.float32),
+                pltpu.VMEM((8, d), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, 8, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), starts.astype(jnp.int32), *args)
+    return out[:, :, 0, :]

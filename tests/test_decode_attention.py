@@ -1,0 +1,72 @@
+"""Decode-attention kernel numerics vs the masked einsum reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otter_tpu.ops.decode_attention import decode_attention
+from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
+
+
+def _ref(q, k, v, lengths, bias=None):
+    logits = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / (q.shape[-1] ** 0.5)
+    if bias is not None:
+        logits = logits + bias
+    mask = jnp.arange(k.shape[2])[None, None, :] < lengths[:, None, None]
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jnp.asarray(np.exp(logits - logits.max(-1, keepdims=True)))
+    probs = probs / probs.sum(-1, keepdims=True)
+    return jnp.einsum("bhk,bhkd->bhd", probs, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("L,block_k", [(512, 256), (384, 256)])
+def test_decode_attention_matches_reference(rng, L, block_k):
+    b, h, d = 2, 4, 128
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    lengths = jnp.asarray([L // 3, L - 1], jnp.int32)
+    out = decode_attention(q, k, v, lengths, block_k=block_k,
+                           interpret=True)
+    ref = _ref(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_left_padding(rng):
+    """starts[b] masks left-pad slots (and skips whole blocks)."""
+    b, h, L, d = 2, 2, 512, 128
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    lengths = jnp.asarray([300, 500], jnp.int32)
+    starts = jnp.asarray([150, 4], jnp.int32)
+    out = decode_attention(q, k, v, lengths, starts=starts, block_k=128,
+                           interpret=True)
+    logits = jnp.einsum("bhd,bhkd->bhk", q, k) / (d ** 0.5)
+    idx = jnp.arange(L)[None, None, :]
+    mask = (idx < lengths[:, None, None]) & (idx >= starts[:, None, None])
+    logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jnp.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    ref = jnp.einsum("bhk,bhkd->bhd", probs, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_with_alibi_bias(rng):
+    b, h, L, d = 1, 4, 256, 128
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    lengths = jnp.asarray([200], jnp.int32)
+    from otter_tpu.ops.masks import alibi_slopes
+    slopes = alibi_slopes(h)
+    rel = (jnp.arange(L) - 199)[None, None, :]
+    bias = rel * slopes[None, :, None]
+    out = decode_attention(q, k, v, lengths, bias, block_k=128,
+                           interpret=True)
+    ref = _ref(q, k, v, lengths, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
