@@ -35,10 +35,6 @@ def multi_head_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     impl = impl or _default_impl()
-    # tiny-q calls (decode-time cross attention) are cheaper as one fused
-    # XLA attention than as a Pallas launch padded to a 128-row tile
-    if impl == "pallas" and q.shape[2] < 16:
-        impl = "ref"
     h, h_kv = q.shape[1], k.shape[1]
     if h_kv != h:  # MQA/GQA: replicate kv heads (falcon multiquery)
         k = jnp.repeat(k, h // h_kv, axis=1)
