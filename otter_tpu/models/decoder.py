@@ -334,6 +334,16 @@ class Decoder(nn.Module):
         xattn_every = (self.otter_cfg.cross_attn_every_n_layers
                        if self.otter_cfg is not None else 0)
 
+        # gradient checkpointing: rematerialize each decoder layer's
+        # activations in the backward pass (the reference's
+        # activation_checkpointing_fn per MPTBlock, modeling_mpt.py:326)
+        layer_cls = DecoderLayer
+        if self.remat and cache is None:
+            layer_cls = nn.remat(
+                DecoderLayer,
+                static_argnums=(),
+                prevent_cse=False)
+
         new_cache = {} if cache is not None else None
         for i in range(c.num_hidden_layers):
             if (xattn_every and (i + 1) % xattn_every == 0
@@ -348,7 +358,7 @@ class Decoder(nn.Module):
                         x, vis_latents, xattn_q_ids, xattn_kv_ids,
                         xattn_out_keep)
             layer_cache = cache[f"layers_{i}"] if cache is not None else None
-            x, lc = DecoderLayer(c, self.dtype, name=f"layers_{i}")(
+            x, lc = layer_cls(c, self.dtype, name=f"layers_{i}")(
                 x, positions=positions, attn_ids=attn_ids, bias=bias,
                 cache=layer_cache, kv_valid=kv_valid, cache_pos=cache_pos)
             if new_cache is not None:

@@ -34,12 +34,14 @@ class OtterVLM(nn.Module):
 
     cfg: OtterConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
         self.vision_encoder = CLIPVisionModel(c.vision, self.dtype)
         self.perceiver = PerceiverResampler(c.perceiver, self.dtype)
-        self.lang_encoder = Decoder(c.text, otter_cfg=c, dtype=self.dtype)
+        self.lang_encoder = Decoder(c.text, otter_cfg=c, dtype=self.dtype,
+                                    remat=self.remat)
 
     def encode_vision(self, vision_x):
         """[B, T, F, C, H, W] -> latents [B, T, n, D]

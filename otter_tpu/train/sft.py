@@ -54,7 +54,8 @@ def build_model_and_config(args: TrainArgs):
     if args.model_name == "flamingo":
         cfg = cfg.replace(use_media_placement_augmentation=True)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    return OtterVLM(cfg, dtype=dtype), cfg
+    return OtterVLM(cfg, dtype=dtype,
+                    remat=args.gradient_checkpointing), cfg
 
 
 def build_loaders(args: TrainArgs, cfg: OtterConfig, tokenizer,
