@@ -402,7 +402,10 @@ def load_otter_checkpoint(path: str, cfg: OtterConfig, params: Dict,
     from flax import traverse_util
     sd = load_state_dict(path)
     converted = hf_to_flax(sd, cfg, dtype=dtype)
-    flat = dict(traverse_util.flatten_dict(params, sep="/"))
+    # accept either the bare param tree or the {"params": ...} variables dict
+    wrapped_root = isinstance(params, dict) and set(params) == {"params"}
+    tree = params["params"] if wrapped_root else params
+    flat = dict(traverse_util.flatten_dict(tree, sep="/"))
     import jax.numpy as jnp
     n_loaded = 0
     for k, v in converted.items():
@@ -419,5 +422,9 @@ def load_otter_checkpoint(path: str, cfg: OtterConfig, params: Dict,
                                  f"{flat[k].shape} vs {v.shape}")
             flat[k] = jnp.asarray(v, flat[k].dtype)
             n_loaded += 1
+    if n_loaded == 0:
+        raise ValueError(
+            f"checkpoint {path} matched 0 of {len(flat)} params "
+            f"({len(converted)} converted keys) — wrong config/arch?")
     out = traverse_util.unflatten_dict(flat, sep="/")
-    return out
+    return {"params": out} if wrapped_root else out

@@ -237,18 +237,31 @@ def main():
            "llama7b-video": cfgmod.otter_llama7b_video}[args.config]()
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
              "int8": jnp.bfloat16}[args.load_bit]
+    quantize = args.load_bit == "int8"
+    if quantize:
+        cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
     model = OtterVLM(cfg, dtype=dtype)
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
 
+    # load into a bf16 non-quant tree first, then quantize the decoder
+    # kernels (Otter-MPT7B: 16.6GB bf16 -> 9.8GB int8, fits one v5e)
+    load_cfg = cfg.replace(text=cfg.text.replace(quant=None)) \
+        if quantize else cfg
+    load_model = OtterVLM(load_cfg, dtype=dtype)
     shapes = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, 1, 1, 3, 224, 224), dtype),
+        load_model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, 1, 3, cfg.vision.image_size,
+                   cfg.vision.image_size), dtype),
         jnp.zeros((1, 8), jnp.int32))
     params = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, dtype
                             if jnp.issubdtype(s.dtype, jnp.floating)
                             else s.dtype), shapes)
-    params = load_otter_checkpoint(args.checkpoint, cfg, params, dtype=dtype)
+    params = load_otter_checkpoint(args.checkpoint, load_cfg, params,
+                                   dtype=dtype)
+    if quantize:
+        from otter_tpu.ops.quant import quantize_params
+        params = {"params": quantize_params(params["params"])}
     engine = OtterGenerator(model, params, cfg)
     stream_fn = make_otter_stream_fn(engine, tokenizer, cfg)
 
