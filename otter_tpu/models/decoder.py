@@ -288,6 +288,7 @@ class Decoder(nn.Module):
         patches; replaces the reference's gather_continuous_embeddings
         scatter, fuyu/modeling_fuyu.py:44-77).
         """
+        from otter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, maybe_shard
         c = self.cfg
         embed = nn.Embed(c.total_vocab, c.hidden_size,
                          dtype=self.dtype, name="wte")
@@ -295,6 +296,7 @@ class Decoder(nn.Module):
         if merge_embeds is not None:
             values, vmask = merge_embeds
             x = jnp.where(vmask[..., None], values.astype(x.dtype), x)
+        x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), None, None)
         b, s, _ = x.shape
 
         if c.pos == "learned":
@@ -361,6 +363,7 @@ class Decoder(nn.Module):
             x, lc = layer_cls(c, self.dtype, name=f"layers_{i}")(
                 x, positions=positions, attn_ids=attn_ids, bias=bias,
                 cache=layer_cache, kv_valid=kv_valid, cache_pos=cache_pos)
+            x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), None, None)
             if new_cache is not None:
                 new_cache[f"layers_{i}"] = lc
 

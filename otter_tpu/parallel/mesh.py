@@ -77,6 +77,16 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(put, tree)
 
 
+def maybe_shard(x, *spec):
+    """Activation sharding constraint, applied only when tracing under an
+    active mesh (no-op otherwise). Guides GSPMD to keep batch-sharded
+    activation layouts instead of involuntary resharding."""
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except Exception:
+        return x
+
+
 def local_mesh_for_testing(n: int = 8) -> Mesh:
     """CPU-simulated mesh; tests set XLA_FLAGS=--xla_force_host_platform_device_count."""
     devs = jax.devices()

@@ -44,7 +44,8 @@ def main():
 
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, 1, 1, 3, 224, 224), jnp.bfloat16),
+        jnp.zeros((1, 1, 1, 3, cfg.vision.image_size,
+                   cfg.vision.image_size), jnp.bfloat16),
         jnp.zeros((1, 8), jnp.int32))
     params = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, jnp.bfloat16
@@ -54,12 +55,13 @@ def main():
                                    dtype=jnp.bfloat16)
     engine = OtterGenerator(model, params, cfg)
 
+    size = cfg.vision.image_size
     if args.image:
         from PIL import Image
         vision_x = preprocess_image(Image.open(args.image).convert("RGB"),
-                                    224)[None, None, None]
+                                    size)[None, None, None]
     else:
-        vision_x = np.zeros((1, 1, 1, 3, 224, 224), np.float32)
+        vision_x = np.zeros((1, 1, 1, 3, size, size), np.float32)
     vision_x = jnp.asarray(vision_x)
 
     gen = GenerationConfig(
