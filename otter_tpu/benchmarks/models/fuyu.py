@@ -24,10 +24,13 @@ class Fuyu:
         else:
             import jax
             import jax.numpy as jnp
+            from flax import traverse_util
             from transformers import AutoTokenizer
             from otter_tpu.config import FuyuConfig
             from otter_tpu.data.fuyu_processor import (FuyuImageProcessor,
                                                        FuyuProcessor)
+            from otter_tpu.models.convert import (fuyu_hf_to_flax,
+                                                  load_state_dict)
             from otter_tpu.models.fuyu import FuyuVLM
             self.cfg = FuyuConfig()
             self.tokenizer = AutoTokenizer.from_pretrained(tokenizer)
@@ -37,9 +40,11 @@ class Fuyu:
                 image_placeholder_id=self.cfg.image_placeholder_id,
                 image_newline_id=self.cfg.image_newline_id)
             self.model = FuyuVLM(self.cfg, dtype=jnp.bfloat16)
-            raise NotImplementedError(
-                "full Fuyu-8B checkpoint loading lands with the persimmon "
-                "converter; inject model= for now")
+            converted = fuyu_hf_to_flax(load_state_dict(model_path),
+                                        dtype=jnp.bfloat16)
+            self._params = {"params": traverse_util.unflatten_dict(
+                {k: jnp.asarray(v) for k, v in converted.items()},
+                sep="/")}
 
     def generate(self, question: str, raw_image_data=None) -> str:
         from otter_tpu.data.templates import inference_prompt
@@ -98,7 +103,30 @@ class Fuyu:
         self._params = v
 
     def eval_forward(self, question: str, answer: str, image=None) -> float:
-        raise NotImplementedError
+        """Mean log-likelihood of `answer` after the boa token."""
+        import jax.numpy as jnp
+        from otter_tpu.data.templates import inference_prompt
+        from otter_tpu.train.step import causal_lm_loss
+        prompt = inference_prompt(question, "fuyu")
+        batch = self.processor([prompt + " " + answer], [image],
+                               target_resolution=self.resolution)
+        # unmask everything after the (single) beginning-of-answer token
+        ids = batch["input_ids"]
+        labels = np.full_like(ids, -100)
+        boa = self.processor.boa_id()
+        for i in range(ids.shape[0]):
+            pos = np.nonzero(ids[i] == boa)[0]
+            if len(pos):
+                labels[i, pos[0] + 1:] = ids[i, pos[0] + 1:]
+        labels[ids == self.tokenizer.eos_token_id] = -100
+        logits, _ = self.model.apply(
+            self.params, jnp.asarray(batch["input_ids"]),
+            image_patches=jnp.asarray(batch["image_patches"]),
+            image_patches_indices=jnp.asarray(
+                batch["image_patches_indices"]),
+            attention_mask=jnp.asarray(batch["attention_mask"]))
+        loss, _ = causal_lm_loss(logits, jnp.asarray(labels))
+        return -float(loss)
 
 
 class OtterHD(Fuyu):

@@ -157,3 +157,42 @@ def test_otter_image_adapter_tiny(rng):
     assert isinstance(out, str)
     score = adapter.eval_forward("what is this?", "a thing", img)
     assert np.isfinite(score)
+
+
+def test_fuyu_adapter_tiny(rng):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.benchmarks.models.fuyu import Fuyu
+    from otter_tpu.data.fuyu_processor import (FuyuImageProcessor,
+                                               FuyuProcessor)
+    from otter_tpu.models.fuyu import FuyuVLM
+    from helpers import TinyTokenizer
+
+    class FuyuTok(TinyTokenizer):
+        specials = dict(TinyTokenizer.specials)
+        specials["\x04"] = 250
+
+    cfg = FuyuConfig.tiny()
+    tok = FuyuTok()
+    proc = FuyuProcessor(
+        tok, FuyuImageProcessor(patch_size=cfg.patch_size,
+                                buckets=((8, 8),)),
+        image_placeholder_id=cfg.image_placeholder_id,
+        image_newline_id=cfg.image_newline_id)
+    model = FuyuVLM(cfg)
+    img = Image.fromarray((rng.random((8, 8, 3)) * 255).astype(np.uint8))
+    sample = proc(["User:x Assistant:\x04"], [img])
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample["input_ids"]),
+        image_patches=jnp.asarray(sample["image_patches"]),
+        image_patches_indices=jnp.asarray(sample["image_patches_indices"]))
+
+    adapter = Fuyu(model=model, tok=tok, processor=proc, cfg=cfg,
+                   max_new_tokens=3)
+    adapter.params = params
+    out = adapter.generate("what is this?", img)
+    assert isinstance(out, str)
+    score = adapter.eval_forward("what is this?", "a square", img)
+    assert np.isfinite(score)
