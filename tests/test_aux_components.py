@@ -129,3 +129,18 @@ def test_demo_model_tiny(rng):
                      max_new_tokens=3)
     out = demo.ask("what is this?", _img(rng, 28, 28))
     assert isinstance(out, str)
+
+
+def test_device_image_prep_matches_pil(rng):
+    """Device-side resize+normalize vs the PIL host reference."""
+    from otter_tpu.data.mimicit import preprocess_image
+    from otter_tpu.ops.image_prep import device_preprocess
+    arrs = [(rng.random((180, 240, 3)) * 255).astype(np.uint8)
+            for _ in range(3)]
+    out = device_preprocess(arrs, size=64)
+    refs = np.stack([preprocess_image(Image.fromarray(a), 64)
+                     for a in arrs])
+    diff = np.abs(np.asarray(out) - refs)
+    # different antialias prefilters: compare loosely but meaningfully
+    assert np.percentile(diff, 95) < 0.15, float(diff.max())
+    assert np.corrcoef(np.asarray(out).ravel(), refs.ravel())[0, 1] > 0.99
