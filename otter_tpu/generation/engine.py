@@ -265,14 +265,24 @@ class OtterGenerator:
             rng = jax.random.PRNGKey(0)
 
         logits = last_logits
+        buffer = np.concatenate(
+            [np.asarray(lang_x),
+             np.full((b, gen.max_new_tokens), gen.pad_token_id, np.int32)],
+            axis=1)
+        valid_from = p - real_len
         for t in range(gen.max_new_tokens):
             rng, sub = jax.random.split(rng)
+            if gen.no_repeat_ngram_size:
+                logits = sampling.ban_repeat_ngrams(
+                    logits, jnp.asarray(buffer), p + t,
+                    gen.no_repeat_ngram_size, valid_from)
             tok = sampling.sample_token(
                 sub, logits, do_sample=gen.do_sample,
                 temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p)
             tok_i = int(tok[0])
             if tok_i == eos:
                 return
+            buffer[:, p + t] = tok_i
             yield tok_i
             kv_valid = kv_valid | (jnp.arange(cache_len)[None] == p + t)
             positions = jnp.full((b, 1), real_len + t, jnp.int32)
