@@ -158,6 +158,9 @@ def _mpt_rules(wrapped: bool) -> Iterable[Tuple[str, str, Any]]:
     yield (p + r"wte\.weight", "lang_encoder/wte/embedding", None)
     yield (p + r"norm_f\.weight", "lang_encoder/norm_f/scale", None)
     yield (p + r"norm_f\.bias", "lang_encoder/norm_f/bias", None)
+    # mosaic_gpt (mpt_redpajama) names the final norm ln_f
+    yield (p + r"ln_f\.weight", "lang_encoder/norm_f/scale", None)
+    yield (p + r"ln_f\.bias", "lang_encoder/norm_f/bias", None)
     b = p + r"blocks\.(\d+)" + mid
     for ln in ("norm_1", "norm_2"):
         yield (b + rf"{ln}\.weight", f"lang_encoder/layers_{{0}}/{ln}/scale",
