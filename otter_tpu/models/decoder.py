@@ -154,8 +154,23 @@ class SelfAttention(nn.Module):
             cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(
                 cache["v"].dtype), (0, 0, cache_pos, 0))
             new_cache = {"k": ck, "v": cv}
-            out = _decode_attention(q, ck, cv, kv_valid, bias,
-                                    sm_scale=self._scale())
+            if c.decode_kernel and s == 1 and q.shape[1] == ck.shape[1]:
+                # Pallas decode kernel: reads only valid cache blocks
+                from otter_tpu.ops.decode_attention import decode_attention
+                L = ck.shape[2]
+                idx = jnp.arange(L)[None, :]
+                valid = kv_valid.astype(bool)
+                lengths = jnp.max(jnp.where(valid, idx + 1, 0), axis=-1)
+                starts = jnp.min(jnp.where(valid, idx, L), axis=-1)
+                b2 = bias[:, :, 0, :] if bias is not None and \
+                    bias.ndim == 4 else bias
+                out = decode_attention(
+                    q[:, :, 0, :], ck, cv, lengths, b2, starts=starts,
+                    sm_scale=self._scale(),
+                    interpret=jax.default_backend() != "tpu")[:, :, None, :]
+            else:
+                out = _decode_attention(q, ck, cv, kv_valid, bias,
+                                        sm_scale=self._scale())
         else:
             out = multi_head_attention(
                 q, k, v, bias=bias, q_ids=attn_ids, kv_ids=attn_ids,

@@ -70,3 +70,35 @@ def test_decode_attention_with_alibi_bias(rng):
     ref = _ref(q, k, v, lengths, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_decoder_decode_kernel_matches_einsum(rng):
+    """Cached decode with decode_kernel=True reproduces the einsum path."""
+    import jax
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.decoder import Decoder, init_cache
+    cfg = OtterConfig.tiny("mpt").text
+    b, s, max_len = 1, 8, 128
+    ids = jnp.asarray(rng.integers(5, 200, (b, s)), jnp.int32)
+    m_ref = Decoder(cfg)
+    m_ker = Decoder(cfg.replace(decode_kernel=True))
+    params = m_ref.init(jax.random.PRNGKey(0), ids)
+
+    def run(m):
+        cache = init_cache(cfg, b, max_len, jnp.float32)
+        _, cache = m.apply(params, ids, cache=cache)
+        outs = []
+        pos = s
+        for t in range(3):
+            tok = jnp.asarray([[50 + t]], jnp.int32)
+            kv_valid = (jnp.arange(max_len)[None] <= pos)
+            logits, cache = m.apply(
+                params, tok, cache=cache, cache_pos=pos, kv_valid=kv_valid,
+                positions=jnp.full((b, 1), pos, jnp.int32))
+            outs.append(np.asarray(logits[:, 0]))
+            pos += 1
+        return np.stack(outs)
+
+    ref = run(m_ref)
+    ker = run(m_ker)
+    np.testing.assert_allclose(ker, ref, atol=2e-4, rtol=2e-4)
