@@ -59,12 +59,15 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     ]
     args = [q8, k, v]
     if has_bias:
-        bb, bh = bias.shape[0], bias.shape[1]
+        # sublane-replicate the per-head column bias so the block shape
+        # satisfies the TPU (8, 128) tiling minimum
+        bias8 = jnp.broadcast_to(
+            bias.astype(jnp.float32)[:, :, None, :],
+            (bsz, h, 8, L))
         in_specs.append(pl.BlockSpec(
-            (1, 1, block_k),
-            lambda b, hh, j, *_, bb=bb, bh=bh: (b if bb > 1 else 0,
-                                            hh if bh > 1 else 0, j)))
-        args.append(bias.astype(jnp.float32))
+            (1, 1, 8, block_k),
+            lambda b, hh, j, *_: (b, hh, 0, j)))
+        args.append(bias8)
 
     def kernel(lengths_ref, starts_ref, *refs):
         if has_bias:
@@ -92,7 +95,7 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                                 preferred_element_type=jnp.float32)
             s *= sm_scale                     # [8, block_k]
             if bias_ref is not None:
-                s += bias_ref[0, 0][None, :]
+                s += bias_ref[0, 0]
             cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
             s = jnp.where((cols < length) & (cols >= start), s, mask_value)
 
