@@ -97,16 +97,6 @@ def build_app(controller_addr: str = None, worker_addr: str = None):
             ).encode() + b"\0")
             return resp
         loop = asyncio.get_event_loop()
-
-        def fetch():
-            chunks = []
-            r = requests.post(addr + "/worker_generate_stream", json=params,
-                              stream=True, timeout=600)
-            for chunk in r.iter_lines(decode_unicode=False, delimiter=b"\0"):
-                if chunk:
-                    chunks.append(chunk)
-            return chunks
-
         # stream chunk-by-chunk in a thread to keep the event loop free
         r = await loop.run_in_executor(None, lambda: requests.post(
             addr + "/worker_generate_stream", json=params, stream=True,
