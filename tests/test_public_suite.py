@@ -82,3 +82,45 @@ def test_eval_classification_driver():
 def test_postprocess():
     assert postprocess_captioning_generation(
         "a cat\nOutput: more") == "a cat"
+
+
+def test_manifest_loaders(tmp_path):
+    import json
+    from otter_tpu.benchmarks.public_suite.manifests import (
+        load_coco_captions, load_hateful_memes, load_karpathy_split,
+        load_vqav2)
+
+    coco = {"images": [{"id": 7, "file_name": "a.jpg"}],
+            "annotations": [{"image_id": 7, "caption": "a cat"},
+                            {"image_id": 7, "caption": "feline"}]}
+    p = tmp_path / "coco.json"
+    p.write_text(json.dumps(coco))
+    items = load_coco_captions(str(p), "/imgs")
+    assert items[0]["image_id"] == "7" and len(items[0]["captions"]) == 2
+
+    karpathy = {"images": [
+        {"split": "test", "filepath": "val2014", "filename": "b.jpg",
+         "cocoid": 9, "imgid": 1,
+         "sentences": [{"raw": "a dog"}, {"raw": "canine"}]},
+        {"split": "train", "filename": "c.jpg", "imgid": 2,
+         "sentences": [{"raw": "x"}]}]}
+    p = tmp_path / "karpathy.json"
+    p.write_text(json.dumps(karpathy))
+    items = load_karpathy_split(str(p), "/r", split="test")
+    assert len(items) == 1 and items[0]["image_id"] == "9"
+
+    qs = {"questions": [{"question_id": 1, "image_id": 42,
+                         "question": "what color?"}]}
+    anns = {"annotations": [{"question_id": 1,
+                             "answers": [{"answer": "red"}] * 10}]}
+    qp, ap = tmp_path / "q.json", tmp_path / "a.json"
+    qp.write_text(json.dumps(qs))
+    ap.write_text(json.dumps(anns))
+    items = load_vqav2(str(qp), str(ap), "/imgs")
+    assert items[0]["answers"] == ["red"] * 10
+    assert "000000000042" in items[0]["image"]
+
+    hm = tmp_path / "dev.jsonl"
+    hm.write_text('{"img": "img/1.png", "label": 1, "text": "t"}\n')
+    items = load_hateful_memes(str(hm), "/r")
+    assert items[0]["class_id"] == 1
