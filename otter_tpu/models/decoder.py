@@ -46,10 +46,12 @@ from otter_tpu.ops.masks import DEFAULT_MASK_VALUE, alibi_slopes
 
 def _norm(cfg: TextConfig, dtype, name: str):
     """Norm factory honoring norm_type and no_bias (MPT removes LN biases,
-    `modeling_mpt.py:83-87`)."""
+    `modeling_mpt.py:83-87`; falcon keeps LN biases even with bias-free
+    linears, `falcon/modelling_RW.py:368`)."""
     if cfg.norm_type == "rmsnorm":
         return RMSNormModule(eps=cfg.norm_eps, dtype=dtype, name=name)
-    return LPLayerNormModule(eps=cfg.norm_eps, use_bias=not cfg.no_bias,
+    use_bias = (not cfg.no_bias) or cfg.arch == "falcon"
+    return LPLayerNormModule(eps=cfg.norm_eps, use_bias=use_bias,
                              dtype=dtype, name=name)
 
 
