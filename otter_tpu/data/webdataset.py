@@ -99,6 +99,7 @@ class ShardPipeline:
                  resampled: bool = False, seed: int = 0, epoch: int = 0,
                  rank: int = 0, world_size: int = 1, worker: int = 0,
                  num_workers: int = 1, shuffle_buffer: int = 1000,
+                 num_parallel_shards: int = 4,
                  handler=log_and_continue):
         self.shards = list(shards)
         self.preprocess = preprocess
@@ -111,6 +112,7 @@ class ShardPipeline:
         self.worker = worker
         self.num_workers = num_workers
         self.shuffle_buffer = shuffle_buffer
+        self.num_parallel_shards = num_parallel_shards
         self.handler = handler
 
     def set_epoch(self, epoch: int):
@@ -126,23 +128,71 @@ class ShardPipeline:
         shards = shards[self.rank::self.world_size]
         return shards[self.worker::self.num_workers]
 
+    def _raw_samples(self) -> Iterator:
+        """Raw tar samples; shards read concurrently when
+        num_parallel_shards > 1 (tar IO and image decode release the GIL)."""
+        shards = self._shard_list()
+        if self.num_parallel_shards <= 1 or len(shards) <= 1:
+            for shard in shards:
+                yield from tar_samples(shard, self.handler)
+            return
+
+        import queue as _q
+        import threading
+        out: "_q.Queue" = _q.Queue(maxsize=4 * self.shuffle_buffer
+                                   if self.shuffle_buffer else 256)
+        shard_q: "_q.Queue" = _q.Queue()
+        for s in shards:
+            shard_q.put(s)
+        n_threads = min(self.num_parallel_shards, len(shards))
+        done = threading.Event()
+
+        def reader():
+            while not done.is_set():
+                try:
+                    shard = shard_q.get_nowait()
+                except _q.Empty:
+                    return
+                for raw in tar_samples(shard, self.handler):
+                    while not done.is_set():
+                        try:
+                            out.put(raw, timeout=0.2)
+                            break
+                        except _q.Full:
+                            continue
+                    if done.is_set():
+                        return
+
+        threads = [threading.Thread(target=reader, daemon=True)
+                   for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+
+        try:
+            while any(t.is_alive() for t in threads) or not out.empty():
+                try:
+                    yield out.get(timeout=0.2)
+                except _q.Empty:
+                    continue
+        finally:
+            done.set()
+
     def _samples(self) -> Iterator:
         rng = random.Random(hash((self.seed, self.epoch, self.rank,
                                   self.worker, 1)))
         buf: List = []
-        for shard in self._shard_list():
-            for raw in tar_samples(shard, self.handler):
-                try:
-                    item = self.preprocess(raw)
-                except Exception as e:
-                    if not self.handler(e):
-                        raise
-                    continue
-                buf.append(item)
-                if len(buf) >= self.shuffle_buffer:
-                    idx = rng.randrange(len(buf))
-                    buf[idx], buf[-1] = buf[-1], buf[idx]
-                    yield buf.pop()
+        for raw in self._raw_samples():
+            try:
+                item = self.preprocess(raw)
+            except Exception as e:
+                if not self.handler(e):
+                    raise
+                continue
+            buf.append(item)
+            if len(buf) >= self.shuffle_buffer:
+                idx = rng.randrange(len(buf))
+                buf[idx], buf[-1] = buf[-1], buf[idx]
+                yield buf.pop()
         rng.shuffle(buf)
         yield from buf
 

@@ -153,3 +153,19 @@ def test_pretrain_step_tiny(tmp_path, rng):
     state, metrics = step(state, batch, batch, attend_prev=True)
     assert np.isfinite(float(metrics["loss"]))
     assert "loss_laion" in metrics and "loss_mmc4" in metrics
+
+
+def test_parallel_shard_reading(tmp_path, rng):
+    """Multiple shards read concurrently yield every sample exactly once."""
+    from helpers import TinyTokenizer
+    shards = []
+    for s in range(4):
+        path = str(tmp_path / f"p{s}.tar")
+        _write_pair_shard(path, rng, n=5)
+        shards.append(path)
+    pipe = ShardPipeline(
+        shards, make_pair_preprocessor(TinyTokenizer(), patch_size=16),
+        batch_size=4, shuffle_buffer=8, num_parallel_shards=4)
+    batches = list(pipe)
+    total = sum(b["input_ids"].shape[0] for b in batches)
+    assert total == 20  # 4 shards x 5 samples, drop_last with batch 4
