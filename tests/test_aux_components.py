@@ -144,3 +144,25 @@ def test_device_image_prep_matches_pil(rng):
     # different antialias prefilters: compare loosely but meaningfully
     assert np.percentile(diff, 95) < 0.15, float(diff.max())
     assert np.corrcoef(np.asarray(out).ravel(), refs.ravel())[0, 1] > 0.99
+
+
+def test_inference_yaml_driver(tmp_path, rng):
+    """YAML batch inference (demos/inference.py) over the tiny model."""
+    import yaml
+    from otter_tpu import OtterConfig, OtterForConditionalGeneration
+    from otter_tpu.demos.demo_models import TestOtter
+    from otter_tpu.demos.inference import run_cases
+
+    img_path = tmp_path / "i.png"
+    _img(rng, 28, 28).save(img_path)
+    cases = [{"image": str(img_path),
+              "questions": ["what is this?", "how many?"]},
+             {"image": str(img_path), "question": "color?"}]
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterForConditionalGeneration(cfg, dtype=jnp.float32)
+    demo = TestOtter(model=model, tok=TinyTokenizer(), patch_size=28,
+                     max_new_tokens=2)
+    results = run_cases(demo, cases)
+    assert len(results) == 3
+    assert all("answer" in r and "question" in r for r in results)
