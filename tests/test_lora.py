@@ -61,3 +61,35 @@ def test_lora_targets_llama(rng):
     assert any("q_proj/lora_a" in k for k in flat)
     assert any("v_proj/lora_a" in k for k in flat)
     assert not any("k_proj/lora_a" in k for k in flat)
+
+
+def test_lora_over_int8_base(rng):
+    """QLoRA-style: int8-quantized base kernels + LoRA adapters."""
+    from otter_tpu.ops.quant import quantize_params
+    cfg = OtterConfig.tiny("mpt").text
+    ids = jnp.asarray(rng.integers(0, 200, (1, 8)), jnp.int32)
+    base = Decoder(cfg)
+    params = base.init(jax.random.PRNGKey(0), ids)["params"]
+    logits_f32, _ = base.apply({"params": params}, ids)
+
+    qcfg = cfg.replace(quant="int8", lora_rank=4)
+    qmodel = Decoder(qcfg)
+    qinit = qmodel.init(jax.random.PRNGKey(0), ids)["params"]
+    # graft: quantize the f32 kernels, reuse lora zero-init
+    from flax import traverse_util
+    qflat = dict(traverse_util.flatten_dict(qinit, sep="/"))
+    quantized = traverse_util.flatten_dict(quantize_params(params), sep="/")
+    for k in qflat:
+        src = k.replace("/base/", "/")
+        if src in quantized:
+            qflat[k] = quantized[src]
+    qparams = traverse_util.unflatten_dict(qflat, sep="/")
+    logits_q, _ = qmodel.apply({"params": qparams}, ids)
+    scale = float(jnp.std(logits_f32))
+    err = float(jnp.max(jnp.abs(logits_q.astype(jnp.float32) - logits_f32)))
+    assert err < 0.2 * max(scale, 1.0), (err, scale)
+    # lora params exist and base kernels are int8
+    flat = traverse_util.flatten_dict(qparams, sep="/")
+    assert any(k.endswith("lora_a") for k in flat)
+    assert any(v.dtype == jnp.int8 for k, v in flat.items()
+               if k.endswith("kernel_q"))
