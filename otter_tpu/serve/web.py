@@ -22,6 +22,7 @@ body{font-family:sans-serif;max-width:760px;margin:2em auto}
 <h2>Otter-TPU Chat</h2>
 <div id=log></div>
 <p><input type=file id=img accept="image/*" multiple>
+<label><input type=checkbox id=vid> video (files are frames)</label>
 <input id=q size=60 placeholder="Ask about the image...">
 <button onclick=send()>Send</button>
 <label>max_new_tokens <input id=mnt value=512 size=5></label></p>
@@ -30,12 +31,15 @@ let history = [];
 async function send(){
   const q = document.getElementById('q').value;
   const files = document.getElementById('img').files;
-  const images = [];
+  let images = [];
   for (const f of files){
     const b = await f.arrayBuffer();
     let s = btoa(String.fromCharCode(...new Uint8Array(b)));
     images.push(s.replace(/\\+/g,'-').replace(/\\//g,'_'));
   }
+  // video mode: frames along F via the worker's list-of-lists protocol
+  if (document.getElementById('vid').checked && images.length)
+    images = [images];
   log('You', q);
   const prompt = '<image>User: ' + q + ' GPT:<answer>';
   const resp = await fetch('/http_bot', {method:'POST',

@@ -54,3 +54,13 @@ def test_apply_top_k():
     assert out[0, 1] == 5.0 and out[0, 2] == 3.0
     assert out[0, 0] < -1e9 and out[0, 3] < -1e9
     np.testing.assert_array_equal(sampling.apply_top_k(logits, 0), logits)
+
+
+def test_profiler_trace(tmp_path):
+    from otter_tpu.runtime.metrics import profiler_trace
+    with profiler_trace(None):   # disabled: no-op
+        pass
+    with profiler_trace(str(tmp_path / "trace")):
+        _ = jnp.sum(jnp.ones((64, 64)) @ jnp.ones((64, 64)))
+    import os
+    assert any(os.scandir(tmp_path / "trace"))
