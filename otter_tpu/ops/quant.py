@@ -19,6 +19,68 @@ import numpy as np
 from flax import traverse_util
 
 
+def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
+                *, block_out: int = 512, block_in: int = 1024,
+                interpret: bool = False) -> jnp.ndarray:
+    """Pallas quantized matmul: x [M, K] bf16 @ wq [K, N] int8 * scale [N].
+
+    The int8 weight tile is converted AFTER the VMEM load, so HBM traffic
+    stays at 1 byte/weight (XLA's convert-then-dot only fuses partially:
+    measured 1.43x over bf16 vs the 2.0x bound; see ROADMAP.md)."""
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    m, k = x.shape
+    k2, n = wq.shape
+    assert k == k2 and scale.shape == (n,)
+    bo = min(block_out, n)
+    while n % bo:
+        bo //= 2
+    bi = min(block_in, k)
+    while k % bi:
+        bi //= 2
+    # pad rows to the 8-sublane minimum
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    scale2d = scale.reshape(1, n).astype(jnp.float32)
+
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        w = w_ref[...].astype(x_ref.dtype)      # in-register dequant
+        acc[...] += lax.dot_general(
+            x_ref[...], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            o_ref[...] = (acc[...] * s_ref[...]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // bo, k // bi),
+        in_specs=[
+            pl.BlockSpec((m_pad, bi), lambda i, j: (0, j)),
+            pl.BlockSpec((bi, bo), lambda i, j: (j, i)),
+            pl.BlockSpec((1, bo), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bo), lambda i, j: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, bo), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, wq, scale2d)
+    return out[:m]
+
+
 class Int8Dense(nn.Module):
     """Drop-in Dense with int8 kernel + per-channel scale params
     (kernel_q [in, out] int8, scale [out] f32)."""

@@ -54,3 +54,20 @@ def test_cast_params_policy(rng):
             assert v.dtype == jnp.float32, k
         if k.endswith("Wqkv/kernel"):
             assert v.dtype == jnp.bfloat16, k
+
+
+def test_int8_matmul_pallas(rng):
+    from otter_tpu.ops.quant import int8_matmul, quantize_kernel
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    w = rng.standard_normal((256, 384)).astype(np.float32)
+    wq, scale = quantize_kernel(w)
+    out = int8_matmul(x, jnp.asarray(wq), jnp.asarray(scale),
+                      block_out=128, block_in=128, interpret=True)
+    ref = x @ jnp.asarray(wq.astype(np.float32) * scale[None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    # odd row count (pads to 8 sublanes)
+    out2 = int8_matmul(x[:3], jnp.asarray(wq), jnp.asarray(scale),
+                       block_out=128, block_in=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref[:3]),
+                               atol=2e-3, rtol=2e-3)
