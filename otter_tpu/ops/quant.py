@@ -20,7 +20,7 @@ from flax import traverse_util
 
 
 def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
-                *, block_out: int = 512, block_in: int = 1024,
+                *, block_out: int = 1024, block_in: int = 2048,
                 interpret: bool = False) -> jnp.ndarray:
     """Pallas quantized matmul: x [M, K] bf16 @ wq [K, N] int8 * scale [N].
 
@@ -96,11 +96,25 @@ class Int8Dense(nn.Module):
                               (in_features, self.features), jnp.int8)
         scale = self.param("scale_q", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        # scale on the OUTPUT side: the int8->bf16 convert then fuses into
-        # the dot's operand read (no dequantized weight materialization,
-        # HBM traffic stays at 1 byte/weight)
-        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
-        y = y * scale.astype(self.dtype)[None, :]
+        lead = x.shape[:-1]
+        m = 1
+        for dim in lead:
+            m *= dim
+        use_pallas = (jax.default_backend() == "tpu" and m <= 64
+                      and in_features % 256 == 0
+                      and self.features % 256 == 0)
+        if use_pallas:
+            # decode-shaped input: the Pallas kernel dequantizes in-register
+            # after the VMEM load (765 GB/s int8 read vs 653 for XLA's
+            # convert-then-dot on this stack; BENCH_NOTES.md)
+            y = int8_matmul(x.reshape(m, in_features).astype(self.dtype),
+                            kernel_q, scale)
+            y = y.reshape(*lead, self.features)
+        else:
+            # scale on the OUTPUT side: the int8->bf16 convert fuses into
+            # the dot's operand read (no dequantized weight materialization)
+            y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+            y = y * scale.astype(self.dtype)[None, :]
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
