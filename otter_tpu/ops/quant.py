@@ -96,25 +96,14 @@ class Int8Dense(nn.Module):
                               (in_features, self.features), jnp.int8)
         scale = self.param("scale_q", nn.initializers.ones,
                            (self.features,), jnp.float32)
-        lead = x.shape[:-1]
-        m = 1
-        for dim in lead:
-            m *= dim
-        use_pallas = (jax.default_backend() == "tpu" and m <= 64
-                      and in_features % 256 == 0
-                      and self.features % 256 == 0)
-        if use_pallas:
-            # decode-shaped input: the Pallas kernel dequantizes in-register
-            # after the VMEM load (765 GB/s int8 read vs 653 for XLA's
-            # convert-then-dot on this stack; BENCH_NOTES.md)
-            y = int8_matmul(x.reshape(m, in_features).astype(self.dtype),
-                            kernel_q, scale)
-            y = y.reshape(*lead, self.features)
-        else:
-            # scale on the OUTPUT side: the int8->bf16 convert fuses into
-            # the dot's operand read (no dequantized weight materialization)
-            y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
-            y = y * scale.astype(self.dtype)[None, :]
+        # scale on the OUTPUT side: the int8->bf16 convert fuses into the
+        # dot's operand read (no dequantized weight materialization). The
+        # standalone Pallas int8_matmul above reads weights faster in
+        # isolation (765 vs 653 GB/s) but loses in the full decode graph
+        # (128 launches/step vs XLA's fused pipeline: 447 vs 461 tok/s on
+        # the 7B) — revisit with a fused multi-projection kernel.
+        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+        y = y * scale.astype(self.dtype)[None, :]
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
