@@ -31,7 +31,13 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     (r".*(out_proj|down_proj|to_out|ff_down|fc2)/kernel$",
      P(TENSOR_AXIS, FSDP_AXIS)),
     (r".*lm_head/kernel$", P(FSDP_AXIS, TENSOR_AXIS)),
-    (r".*wte/embedding$", P(TENSOR_AXIS, FSDP_AXIS)),
+    # embedding: shard the feature dim only. Sharding the vocab dim makes
+    # the token gather un-partitionable (GSPMD falls back to "involuntary
+    # full rematerialization" — replicate + repartition — a large silent
+    # collective tax on every step); with the gathered dim replicated the
+    # gather partitions trivially and the tied lm_head matmul reduces the
+    # feature contraction with one psum.
+    (r".*wte/embedding$", P(None, (FSDP_AXIS, TENSOR_AXIS))),
     (r".*/wpe$", P(None, FSDP_AXIS)),
     (r".*patch_embedding/kernel$", P(None, None, None, FSDP_AXIS)),
     (r".*position_embedding$", P(None, FSDP_AXIS)),

@@ -114,6 +114,27 @@ def test_sharded_train_step_8dev(rng):
         assert np.isfinite(float(metrics["loss"]))
 
 
+def test_sharded_step_compiles_without_spmd_remat(rng, capfd):
+    """GSPMD must partition the whole train step without falling back to
+    "involuntary full rematerialization" (replicate + repartition). The
+    embedding rule used to shard the vocab dim, which made the token gather
+    un-partitionable and taxed every step with a full embedding all-gather;
+    this pins the fix (parallel/sharding.py wte rule)."""
+    cfg, model, params, batch = _setup(rng, b=4)
+    pcfg = ParallelConfig(dp=2, fsdp=2, tp=2)
+    mesh = create_mesh(pcfg, jax.devices()[:8])
+    with mesh:
+        params = shard_params(mesh, params)
+        trainable, _ = split_params(params, cfg)
+        tx = make_optimizer(trainable, lr=1e-3, total_steps=10)
+        state = TrainState.create(params, cfg, tx)
+        step = make_train_step(model, cfg, tx, mask_embedding=True)
+        capfd.readouterr()  # drop anything emitted so far
+        jax.jit(step).lower(state, batch).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err
+
+
 def test_grad_accumulation(rng):
     cfg, model, params, batch = _setup(rng)
     trainable, _ = split_params(params, cfg)
