@@ -325,6 +325,17 @@ class GenerationConfig(_JsonMixin):
     early_stopping: bool = True
     eos_token_id: Optional[int] = None
     pad_token_id: int = 0
+    # banned token sequences (HF `bad_words_ids`, exposed by the reference
+    # worker `model_worker.py:222`): each inner sequence's final token is
+    # banned whenever the preceding tokens match the generated tail.
+    bad_words_ids: Optional[Tuple[Tuple[int, ...], ...]] = None
+
+    def __post_init__(self):
+        if self.bad_words_ids is not None:
+            object.__setattr__(
+                self, "bad_words_ids",
+                tuple(tuple(int(t) for t in seq)
+                      for seq in self.bad_words_ids))
 
 
 def load_config(path: str) -> OtterConfig:

@@ -28,8 +28,16 @@ def beam_search(
     eos_token_id: int,
     pad_token_id: int = 0,
     length_penalty: float = 1.0,
+    logits_processor: Callable = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens [B, max_new_tokens] of the best beam, scores [B])."""
+    """Returns (tokens [B, max_new_tokens] of the best beam, scores [B]).
+
+    logits_processor, if given, is called as (logits [B*K, V],
+    gen_tokens [B*K, max_new], t) -> logits before each expansion — the
+    hook for no_repeat_ngram / bad_words_ids banning (HF beam parity,
+    SURVEY hard part #2). The caller is responsible for processing
+    `init_logits` (t=0) itself.
+    """
     b, vocab = init_logits.shape
     k = num_beams
 
@@ -54,6 +62,9 @@ def beam_search(
         cur = jax.lax.dynamic_slice_in_dim(tokens, t - 1, 1, axis=2)
         cur = cur.reshape(b * k, 1)
         logits, cache = step_fn(cur, cache, t)
+        if logits_processor is not None:
+            logits = logits_processor(
+                logits, tokens.reshape(b * k, -1), t)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(b, k, vocab)
         total = live_scores[:, :, None] + logp                # [B, K, V]

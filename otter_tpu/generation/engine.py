@@ -106,9 +106,8 @@ class OtterGenerator:
                  jnp.zeros((b, cache_len - p), bool)], axis=-1)
 
             def sample_from(rng, logits, buffer, t, done):
-                logits = sampling.ban_repeat_ngrams(
-                    logits, buffer, p + t, gen.no_repeat_ngram_size,
-                    valid_from)
+                logits = sampling.process_logits(
+                    logits, buffer, p + t, gen, valid_from)
                 tok = sampling.sample_token(
                     rng, logits, do_sample=gen.do_sample,
                     temperature=gen.temperature, top_k=gen.top_k,
@@ -202,7 +201,16 @@ class OtterGenerator:
             kv_valid0 = jnp.concatenate(
                 [am.astype(bool),
                  jnp.zeros((b * k, cache_len - p), bool)], axis=-1)
-            init_logits = last_logits[::k]                  # [B, V]
+            valid_from = p - real_len
+            init_logits = sampling.process_logits(
+                last_logits[::k], lang_x, p, gen, valid_from[::k])  # [B, V]
+
+            def logits_processor(logits, gen_tokens, t):
+                # prepend the (left-padded) prompt so ngram/bad-word bans
+                # see the full context, as HF processors do
+                buf = jnp.concatenate([lx, gen_tokens], axis=1)
+                return sampling.process_logits(logits, buf, p + t, gen,
+                                               valid_from)
 
             def step_fn(tok, cache, t):
                 kv_valid = kv_valid0 | (
@@ -217,7 +225,10 @@ class OtterGenerator:
                 step_fn, init_logits, cache, num_beams=k,
                 max_new_tokens=gen.max_new_tokens, eos_token_id=eos,
                 pad_token_id=gen.pad_token_id,
-                length_penalty=gen.length_penalty)
+                length_penalty=gen.length_penalty,
+                logits_processor=(
+                    logits_processor if gen.no_repeat_ngram_size
+                    or gen.bad_words_ids else None))
             return out
 
         return jax.jit(run)
@@ -272,10 +283,9 @@ class OtterGenerator:
         valid_from = p - real_len
         for t in range(gen.max_new_tokens):
             rng, sub = jax.random.split(rng)
-            if gen.no_repeat_ngram_size:
-                logits = sampling.ban_repeat_ngrams(
-                    logits, jnp.asarray(buffer), p + t,
-                    gen.no_repeat_ngram_size, valid_from)
+            if gen.no_repeat_ngram_size or gen.bad_words_ids:
+                logits = sampling.process_logits(
+                    logits, jnp.asarray(buffer), p + t, gen, valid_from)
             tok = sampling.sample_token(
                 sub, logits, do_sample=gen.do_sample,
                 temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p)

@@ -82,6 +82,51 @@ def ban_repeat_ngrams(logits: jnp.ndarray, tokens: jnp.ndarray,
     return jax.vmap(ban_row)(logits, cand, match)
 
 
+def ban_bad_words(logits: jnp.ndarray, tokens: jnp.ndarray,
+                  cur_end, bad_words_ids, valid_from=0) -> jnp.ndarray:
+    """HF `bad_words_ids` semantics (the reference worker exposes this,
+    model_worker.py:222): for each banned sequence, the final token is
+    masked whenever the preceding tokens equal the tail of
+    tokens[:, valid_from:cur_end]. Single-token sequences are banned
+    unconditionally. `bad_words_ids` is static config (tuple of tuples), so
+    the Python loop unrolls at trace time.
+    """
+    if not bad_words_ids:
+        return logits
+    b, l = tokens.shape
+    cur = jnp.broadcast_to(jnp.asarray(cur_end), (b,))
+    vfrom = jnp.broadcast_to(jnp.asarray(valid_from), (b,))
+    for seq in bad_words_ids:
+        if len(seq) == 0:
+            continue
+        last = int(seq[-1])
+        n1 = len(seq) - 1
+        if n1 == 0:
+            logits = logits.at[:, last].set(NEG_INF)
+            continue
+        prefix = jnp.asarray(seq[:-1], tokens.dtype)
+        suf_idx = cur[:, None] - n1 + jnp.arange(n1)[None, :]
+        suffix = jnp.take_along_axis(tokens, jnp.clip(suf_idx, 0, l - 1),
+                                     axis=1)
+        match = (jnp.all(suffix == prefix[None, :], axis=-1)
+                 & ((cur - vfrom) >= n1))
+        logits = logits.at[:, last].min(
+            jnp.where(match, NEG_INF, jnp.inf))
+    return logits
+
+
+def process_logits(logits: jnp.ndarray, tokens: jnp.ndarray, cur_end,
+                   gen, valid_from=0) -> jnp.ndarray:
+    """Apply the sequence-aware logit controls from a GenerationConfig
+    (no_repeat_ngram_size + bad_words_ids) in one place, shared by the
+    greedy, streaming and beam paths."""
+    logits = ban_repeat_ngrams(logits, tokens, cur_end,
+                               gen.no_repeat_ngram_size, valid_from)
+    logits = ban_bad_words(logits, tokens, cur_end, gen.bad_words_ids,
+                           valid_from)
+    return logits
+
+
 def sample_token(rng, logits: jnp.ndarray, *, do_sample: bool,
                  temperature: float, top_k: int, top_p: float) -> jnp.ndarray:
     """logits [B, V] -> token [B] int32."""

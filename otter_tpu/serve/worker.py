@@ -152,6 +152,9 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
             top_k=int(gk.get("top_k", 0)),
             top_p=float(gk.get("top_p", 1.0)),
             no_repeat_ngram_size=int(gk.get("no_repeat_ngram_size", 0)),
+            bad_words_ids=(tuple(tuple(int(t) for t in seq)
+                                 for seq in gk["bad_words_ids"])
+                           if gk.get("bad_words_ids") else None),
         )
         enc = tokenizer(prompt, return_tensors="np")
         lang_x = enc["input_ids"].astype(np.int32)

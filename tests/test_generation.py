@@ -102,6 +102,62 @@ def test_ban_repeat_ngrams():
     assert float(jnp.max(jnp.abs(out[0, :9]))) == 0.0
 
 
+def test_ban_bad_words_unit():
+    # phrase (7, 8, 9): tail is [7, 8] → 9 banned; single (4,) always banned
+    tokens = jnp.asarray([[1, 2, 7, 8, 0, 0]])
+    logits = jnp.zeros((1, 12))
+    out = sampling.ban_bad_words(logits, tokens, cur_end=4,
+                                 bad_words_ids=((7, 8, 9), (4,)),
+                                 valid_from=0)
+    assert out[0, 9] < -1e9
+    assert out[0, 4] < -1e9
+    # no prefix match → no ban
+    out2 = sampling.ban_bad_words(logits, tokens, cur_end=3,
+                                  bad_words_ids=((7, 8, 9),), valid_from=0)
+    assert float(out2[0, 9]) == 0.0
+
+
+def _assert_phrase_absent(row, phrase):
+    n = len(phrase)
+    for i in range(len(row) - n + 1):
+        assert list(row[i:i + n]) != list(phrase), (row, phrase)
+
+
+def test_bad_words_greedy(rng):
+    cfg, model, params, vision_x, ids = _tiny_setup(rng, b=1)
+    eng = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    p = ids.shape[1]
+    base = eng.generate(vision_x, ids,
+                        gen=GenerationConfig(max_new_tokens=6))[0, p:]
+    phrase = (int(base[0]), int(base[1]))
+    out = eng.generate(
+        vision_x, ids,
+        gen=GenerationConfig(max_new_tokens=6,
+                             bad_words_ids=(phrase,)))[0, p:]
+    _assert_phrase_absent([int(t) for t in out], phrase)
+    # single-token ban changes the first emitted token
+    out1 = eng.generate(
+        vision_x, ids,
+        gen=GenerationConfig(max_new_tokens=6,
+                             bad_words_ids=((int(base[0]),),)))[0, p:]
+    assert int(out1[0]) != int(base[0])
+
+
+def test_bad_words_beam(rng):
+    cfg, model, params, vision_x, ids = _tiny_setup(rng, b=1)
+    eng = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    p = ids.shape[1]
+    base = eng.generate(
+        vision_x, ids,
+        gen=GenerationConfig(max_new_tokens=5, num_beams=2))[0, p:]
+    phrase = (int(base[0]), int(base[1]))
+    out = eng.generate(
+        vision_x, ids,
+        gen=GenerationConfig(max_new_tokens=5, num_beams=2,
+                             bad_words_ids=(phrase,)))[0, p:]
+    _assert_phrase_absent([int(t) for t in out], phrase)
+
+
 def test_top_p_keeps_argmax():
     logits = jnp.asarray([[0.0, 10.0, -1.0, 2.0]])
     out = sampling.apply_top_p(logits, 0.1)
