@@ -254,6 +254,101 @@ def otter_llama7b_video(max_num_frames: int = 128) -> OtterConfig:
     )
 
 
+def otter_mpt30b() -> OtterConfig:
+    """Flamingo-MPT-30B (reference `flamingo/flamingo-mpt-30B.json`):
+    d=7168, 64 heads, 48 layers, 8k context, gated xattn every 7 layers."""
+    return OtterConfig(
+        vision=VisionConfig(),
+        text=TextConfig(arch="mpt", vocab_size=50432, hidden_size=7168,
+                        num_hidden_layers=48, num_attention_heads=64,
+                        max_seq_len=8192, pos="alibi",
+                        norm_type="low_precision_layernorm", act="gelu",
+                        tie_embeddings=True, no_bias=True),
+        perceiver=PerceiverConfig(dim=1024, max_num_frames=None),
+        cross_attn_every_n_layers=7,
+        media_token_id=50278, eoc_token_id=50277,
+    )
+
+
+def otter_falcon7b() -> OtterConfig:
+    """Flamingo-Falcon-7B (reference `flamingo/flamingo-falcon-7B.json`):
+    rotary + fused-qkv multiquery, parallel attn+MLP block, LN with bias."""
+    return OtterConfig(
+        vision=VisionConfig(),
+        text=TextConfig(arch="falcon", vocab_size=65024, extra_vocab=2,
+                        hidden_size=4544, num_hidden_layers=32,
+                        num_attention_heads=71, num_kv_heads=1,
+                        intermediate_size=4 * 4544, max_seq_len=2048,
+                        pos="rope", norm_type="low_precision_layernorm",
+                        act="gelu", tie_embeddings=False, no_bias=True),
+        perceiver=PerceiverConfig(dim=1024, max_num_frames=None),
+        cross_attn_every_n_layers=4,
+        media_token_id=65025, eoc_token_id=65024,
+    )
+
+
+def _otter_llama(hidden: int, layers: int, heads: int, ffn: int,
+                 norm_eps: float, xattn_every: int,
+                 max_seq_len: int = 2048) -> OtterConfig:
+    """LLaMA-family flamingo preset. The injection scripts resize the
+    embedding 32000 -> 32002 (`injecting_llama2_into_flamingo.py:82-89`,
+    `injecting_vicuna_into_flamingo.py:87-94`): <|endofchunk|>=32000,
+    <image>=32001."""
+    return OtterConfig(
+        vision=VisionConfig(),
+        text=TextConfig(arch="llama", vocab_size=32000, extra_vocab=2,
+                        hidden_size=hidden, num_hidden_layers=layers,
+                        num_attention_heads=heads, intermediate_size=ffn,
+                        max_seq_len=max_seq_len, pos="rope",
+                        norm_type="rmsnorm", norm_eps=norm_eps,
+                        act="silu_glu", tie_embeddings=False, no_bias=True),
+        perceiver=PerceiverConfig(dim=1024, max_num_frames=None),
+        cross_attn_every_n_layers=xattn_every,
+        media_token_id=32001, eoc_token_id=32000,
+    )
+
+
+def otter_llama2_chat7b() -> OtterConfig:
+    """Flamingo-LLaMA2-Chat-7B (reference
+    `flamingo/flamingo-llama2-chat-7B.json`)."""
+    return _otter_llama(4096, 32, 32, 11008, 1e-5, 4)
+
+
+def otter_llama2_chat13b() -> OtterConfig:
+    """Flamingo-LLaMA2-Chat-13B (reference
+    `flamingo/flamingo-llama2-chat-13B.json`): xattn every 8 layers,
+    4k context."""
+    return _otter_llama(5120, 40, 40, 13824, 1e-5, 8, max_seq_len=4096)
+
+
+def otter_vicuna7b() -> OtterConfig:
+    """Flamingo-Vicuna-7B-v1.3 (reference
+    `flamingo/flamingo-vicuna-7B-v1.3.json`)."""
+    return _otter_llama(4096, 32, 32, 11008, 1e-6, 4)
+
+
+def otter_vicuna33b() -> OtterConfig:
+    """Flamingo-Vicuna-33B-v1.3 (reference
+    `flamingo/flamingo-vicuna-33B-v1.3.json`)."""
+    return _otter_llama(6656, 60, 52, 17920, 1e-6, 4)
+
+
+# The advertised checkpoint surface: every reference model JSON preset
+# (`src/otter_ai/models/flamingo/flamingo-*.json`, 9 files; the -bf16
+# variant differs only in torch dtype) by short name.
+PRESETS = {
+    "mpt1b": otter_mpt1b,
+    "mpt7b": otter_mpt7b,
+    "mpt30b": otter_mpt30b,
+    "llama7b-video": otter_llama7b_video,
+    "llama2-chat-7b": otter_llama2_chat7b,
+    "llama2-chat-13b": otter_llama2_chat13b,
+    "vicuna-7b": otter_vicuna7b,
+    "vicuna-33b": otter_vicuna33b,
+    "falcon7b": otter_falcon7b,
+}
+
+
 @dataclass(frozen=True)
 class FuyuConfig(_JsonMixin):
     """Fuyu/OtterHD: encoder-free VLM (reference `fuyu/modeling_fuyu.py:19`).

@@ -217,8 +217,8 @@ def main():
     p.add_argument("--model-name", default="otter")
     p.add_argument("--checkpoint", required=True,
                    help="HF-format Otter checkpoint dir/file")
-    p.add_argument("--config", default="mpt7b",
-                   choices=["mpt7b", "mpt1b", "llama7b-video"])
+    from otter_tpu.config import PRESETS
+    p.add_argument("--config", default="mpt7b", choices=sorted(PRESETS))
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--limit-model-concurrency", type=int, default=5)
     p.add_argument("--load-bit", default="bf16",
@@ -236,8 +236,7 @@ def main():
     from otter_tpu.runtime.timing import enable_compile_cache
 
     enable_compile_cache()
-    cfg = {"mpt7b": cfgmod.otter_mpt7b, "mpt1b": cfgmod.otter_mpt1b,
-           "llama7b-video": cfgmod.otter_llama7b_video}[args.config]()
+    cfg = cfgmod.PRESETS[args.config]()
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
              "int8": jnp.bfloat16}[args.load_bit]
     quantize = args.load_bit == "int8"
