@@ -333,6 +333,66 @@ def otter_vicuna33b() -> OtterConfig:
     return _otter_llama(6656, 60, 52, 17920, 1e-6, 4)
 
 
+@dataclass(frozen=True)
+class IdeficsPerceiverConfig(_JsonMixin):
+    """HF IdeficsPerceiverConfig: latents live at the VISION embed dim;
+    heads*head_dim need not equal embed_dim (idefics-9b: 16*96 vs 1280)."""
+
+    depth: int = 6
+    n_heads: int = 16
+    head_dim: int = 96
+    n_latents: int = 64
+    qk_layer_norms: bool = False
+
+
+@dataclass(frozen=True)
+class IdeficsModelConfig(_JsonMixin):
+    """IDEFICS VLM config (HF `IdeficsForVisionText2Text`; the reference
+    trains/evals it — `pipeline/train/instruction_following.py:331-427`,
+    `pipeline/benchmarks/models/idefics.py`).
+
+    Exposes the same accessor surface OtterGenerator expects
+    (`.text`, `.media_token_id`, `.eoc_token_id`) so the jitted generation
+    engine drives IdeficsVLM unchanged.
+    """
+
+    vision: VisionConfig = field(default_factory=lambda: VisionConfig(
+        hidden_size=1280, intermediate_size=5120, num_hidden_layers=32,
+        num_attention_heads=16, hidden_act="gelu"))
+    # NOTE: HF's IdeficsDecoderLayer never enables qk norms in SELF
+    # attention (only the gated cross-attn layer passes
+    # qk_layer_norms=config.qk_layer_norms) — so text.qk_ln stays False;
+    # `qk_layer_norms` below governs the xattn blocks and the perceiver.
+    text: TextConfig = field(default_factory=lambda: TextConfig(
+        arch="llama", vocab_size=32000, hidden_size=4096,
+        num_hidden_layers=32, num_attention_heads=32,
+        intermediate_size=11008, max_seq_len=2048, pos="rope",
+        norm_type="rmsnorm", norm_eps=1e-6, act="silu_glu",
+        tie_embeddings=False, no_bias=True))
+    perceiver: IdeficsPerceiverConfig = field(
+        default_factory=IdeficsPerceiverConfig)
+    use_resampler: bool = True
+    cross_layer_interval: int = 4
+    # gate scalars: "float" (scalar) | "vector" (per-feature)
+    alpha_type: str = "float"
+    qk_layer_norms: bool = True
+    # decoupled trainable vocab appended after the frozen embedding
+    # (IdeficsDecoupledEmbedding / IdeficsDecoupledLinear)
+    additional_vocab_size: int = 0
+    media_token_id: int = 32001   # <image> (additional vocab)
+    eoc_token_id: int = 2         # generation stops at eos
+    eos_token_id: int = 2         # resets the image-attention window
+    answer_token_id: Optional[int] = None
+
+
+def idefics9b() -> IdeficsModelConfig:
+    """HuggingFaceM4/idefics-9b: ViT-H/14 tower, LLaMA-7B trunk, xattn every
+    4 layers, 64 latents, qk layer norms everywhere."""
+    return IdeficsModelConfig(
+        additional_vocab_size=68,
+        perceiver=IdeficsPerceiverConfig(qk_layer_norms=True))
+
+
 # The advertised checkpoint surface: every reference model JSON preset
 # (`src/otter_ai/models/flamingo/flamingo-*.json`, 9 files; the -bf16
 # variant differs only in torch dtype) by short name.

@@ -64,9 +64,11 @@ def _conv(x):  # [O, I, kh, kw] -> [kh, kw, I, O]
     return np.ascontiguousarray(np.transpose(x, (2, 3, 1, 0)))
 
 
-def _clip_rules() -> Iterable[Tuple[str, str, Any]]:
-    """(hf regex, flax template, transform)."""
-    p = "vision_encoder.vision_model."
+def _clip_rules(hf_prefix: str = "vision_encoder.vision_model."
+                ) -> Iterable[Tuple[str, str, Any]]:
+    """(hf regex, flax template, transform). The same ViT layout serves
+    Otter's CLIP tower and the idefics vision tower (different prefix)."""
+    p = hf_prefix
     yield (re.escape(p) + r"embeddings\.class_embedding",
            "vision_encoder/class_embedding", None)
     yield (re.escape(p) + r"embeddings\.patch_embedding\.weight",
@@ -256,6 +258,101 @@ def otter_rules(cfg: OtterConfig, wrapped: bool = True):
     return [(re.compile(pat + r"$"), tmpl, tr) for pat, tmpl, tr in rules]
 
 
+def idefics_rules(cfg) -> list:
+    """HF `IdeficsForVisionText2Text` state_dict names -> IdeficsVLM param
+    paths (reference trains idefics via instruction_following.py:331-427).
+    `cfg` is an IdeficsModelConfig (needs cross_layer_interval and layer
+    counts for the concrete gated-xattn index mapping)."""
+    rules: list = list(_clip_rules("model.vision_model."))
+
+    # decoupled embedding / lm_head
+    rules += [
+        (r"model\.embed_tokens\.weight", "wte/embedding", None),
+        (r"model\.embed_tokens\.additional_embedding\.weight",
+         "additional_embedding/embedding", None),
+        (r"lm_head\.weight", "lm_head/kernel", _t),
+        (r"lm_head\.additional_fc\.weight", "additional_fc/kernel", _t),
+        (r"model\.norm\.weight", "norm_f/scale", None),
+    ]
+
+    # perceiver resampler (blocks.N.0 = attention, blocks.N.1 = MLP)
+    p = r"model\.perceiver_resampler\."
+    rules += [
+        (p + r"latents", "perceiver/latents", None),
+        (p + r"layer_norm\.weight", "perceiver/layer_norm/scale", None),
+        (p + r"layer_norm\.bias", "perceiver/layer_norm/bias", None),
+    ]
+    for ln in ("context_layer_norm", "latents_layer_norm",
+               "q_layer_norm", "k_layer_norm"):
+        rules += [
+            (p + rf"blocks\.(\d+)\.0\.{ln}\.weight",
+             f"perceiver/blocks_{{0}}_attn/{ln}/scale", None),
+            (p + rf"blocks\.(\d+)\.0\.{ln}\.bias",
+             f"perceiver/blocks_{{0}}_attn/{ln}/bias", None),
+        ]
+    for proj in ("q_proj", "k_proj", "v_proj", "output_proj"):
+        rules.append((p + rf"blocks\.(\d+)\.0\.{proj}\.weight",
+                      f"perceiver/blocks_{{0}}_attn/{proj}/kernel", _t))
+    rules += [
+        (p + r"blocks\.(\d+)\.1\.ln\.weight",
+         "perceiver/blocks_{0}_mlp/ln/scale", None),
+        (p + r"blocks\.(\d+)\.1\.ln\.bias",
+         "perceiver/blocks_{0}_mlp/ln/bias", None),
+        (p + r"blocks\.(\d+)\.1\.fc\.weight",
+         "perceiver/blocks_{0}_mlp/fc/kernel", _t),
+        (p + r"blocks\.(\d+)\.1\.c_proj\.weight",
+         "perceiver/blocks_{0}_mlp/c_proj/kernel", _t),
+    ]
+
+    # gated cross-attn: HF indexes them densely (gated_cross_attn_layers.J);
+    # flax names them by the decoder layer they precede (xattn_{J*interval})
+    n_xattn = cfg.text.num_hidden_layers // cfg.cross_layer_interval
+    for j in range(n_xattn):
+        g = re.escape(f"model.gated_cross_attn_layers.{j}.")
+        fx = f"xattn_{j * cfg.cross_layer_interval}"
+        for hf_p, fl_p in (("cross_attn.q_proj", "q_proj"),
+                           ("cross_attn.k_proj", "k_proj"),
+                           ("cross_attn.v_proj", "v_proj"),
+                           ("cross_attn.o_proj", "o_proj"),
+                           ("mlp.gate_proj", "gate_proj"),
+                           ("mlp.up_proj", "up_proj"),
+                           ("mlp.down_proj", "down_proj")):
+            rules.append((g + re.escape(hf_p) + r"\.weight",
+                          f"{fx}/{fl_p}/kernel", _t))
+        for hf_n, fl_n in (("input_layernorm", "input_layernorm"),
+                           ("post_attention_layernorm",
+                            "post_attention_layernorm"),
+                           ("cross_attn.q_layer_norm", "q_layer_norm"),
+                           ("cross_attn.k_layer_norm", "k_layer_norm")):
+            rules.append((g + re.escape(hf_n) + r"\.weight",
+                          f"{fx}/{fl_n}/scale", None))
+        rules.append((g + r"alpha_cross_attn", f"{fx}/alpha_cross_attn",
+                      None))
+        rules.append((g + r"alpha_dense", f"{fx}/alpha_dense", None))
+
+    # LLaMA trunk (+ per-head q/k RMS norms)
+    b = r"model\.layers\.(\d+)\."
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        rules.append((b + rf"self_attn\.{proj}\.weight",
+                      f"layers_{{0}}/attn/{proj}/kernel", _t))
+    rules += [
+        (b + r"self_attn\.o_proj\.weight",
+         "layers_{0}/attn/out_proj/kernel", _t),
+        (b + r"self_attn\.q_layer_norm\.weight",
+         "layers_{0}/attn/q_ln/scale", None),
+        (b + r"self_attn\.k_layer_norm\.weight",
+         "layers_{0}/attn/k_ln/scale", None),
+        (b + r"input_layernorm\.weight", "layers_{0}/norm_1/scale", None),
+        (b + r"post_attention_layernorm\.weight",
+         "layers_{0}/norm_2/scale", None),
+    ]
+    for proj in ("gate_proj", "up_proj", "down_proj"):
+        rules.append((b + rf"mlp\.{proj}\.weight",
+                      f"layers_{{0}}/ffn/{proj}/kernel", _t))
+
+    return [(re.compile(pat + r"$"), tmpl, tr) for pat, tmpl, tr in rules]
+
+
 def fuyu_rules() -> list:
     """adept/fuyu-8b checkpoint names -> FuyuVLM param paths
     (reference `fuyu/modeling_fuyu.py`/`modeling_persimmon.py` attribute
@@ -332,14 +429,15 @@ def fuyu_hf_to_flax(state_dict: Dict[str, np.ndarray], *, dtype=None,
 
 def hf_to_flax(state_dict: Dict[str, np.ndarray], cfg: OtterConfig,
                *, wrapped: bool = True, dtype=None,
-               strict: bool = False) -> Dict[str, Any]:
+               strict: bool = False, rules=None) -> Dict[str, Any]:
     """HF state_dict -> flat flax param dict ('/'-separated paths).
 
     Checkpoints saved by the trainer contain only trainable params
     (`get_checkpoint`, train_utils.py:60-67) — non-strict mode converts
-    whatever is present.
+    whatever is present. `rules` overrides the Otter rule table (e.g.
+    `idefics_rules(cfg)`).
     """
-    rules = otter_rules(cfg, wrapped)
+    rules = rules if rules is not None else otter_rules(cfg, wrapped)
     out: Dict[str, np.ndarray] = {}
     unmatched = []
     for name, arr in state_dict.items():
@@ -363,10 +461,10 @@ def hf_to_flax(state_dict: Dict[str, np.ndarray], cfg: OtterConfig,
 
 
 def flax_to_hf(flat_params: Dict[str, np.ndarray], cfg: OtterConfig,
-               *, wrapped: bool = True) -> Dict[str, np.ndarray]:
+               *, wrapped: bool = True, rules=None) -> Dict[str, np.ndarray]:
     """Inverse mapping for HF-interop export (`save_hf_model` parity,
     train_utils.py:234-262). Round-trips through the same rule table."""
-    rules = otter_rules(cfg, wrapped)
+    rules = rules if rules is not None else otter_rules(cfg, wrapped)
     out: Dict[str, np.ndarray] = {}
     for path, arr in flat_params.items():
         arr = np.asarray(arr)

@@ -148,6 +148,15 @@ class SelfAttention(nn.Module):
                 positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
             q, k = apply_rotary(q, k, cos, sin, positions, rotary_dim=rot_dim)
 
+        if c.qk_ln and c.arch == "llama":
+            # idefics: per-head RMSNorm on q/k AFTER rope
+            # (HF modeling_idefics.py IdeficsAttention.qk_layer_norms; the
+            # reference trains idefics via instruction_following.py:331-427).
+            # HF norms the full cached k at read time; RMS is per-position,
+            # so norming at write time is equivalent.
+            q = PerHeadRMS(eps=c.norm_eps, dtype=self.dtype, name="q_ln")(q)
+            k = PerHeadRMS(eps=c.norm_eps, dtype=self.dtype, name="k_ln")(k)
+
         new_cache = None
         if cache is not None and cache_pos is not None and kv_valid is not None:
             # decode: append k,v at cache_pos, attend against full cache
@@ -191,6 +200,17 @@ class SelfAttention(nn.Module):
 
     def _scale(self):
         return self.cfg.head_dim ** -0.5
+
+
+class PerHeadRMS(nn.Module):
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, S, D]
+        w = self.param("scale", nn.initializers.ones, (x.shape[-1],),
+                       jnp.float32)
+        return rms_norm(x.astype(self.dtype), w, eps=self.eps)
 
 
 class PerHeadLN(nn.Module):
