@@ -15,6 +15,7 @@ AVAILABLE_MODELS: Dict[str, str] = {
     "otter_video": "OtterVideo",
     "fuyu": "Fuyu",
     "otterhd": "OtterHD",
+    "idefics": "Idefics",
     "gpt4v": "OpenAIGPT4Vision",
 }
 

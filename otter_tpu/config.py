@@ -385,6 +385,25 @@ class IdeficsModelConfig(_JsonMixin):
     answer_token_id: Optional[int] = None
 
 
+def idefics_tiny() -> IdeficsModelConfig:
+    """Small idefics config for tests/plumbing checks."""
+    return IdeficsModelConfig(
+        vision=VisionConfig(hidden_size=48, intermediate_size=96,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            image_size=28, patch_size=14, hidden_act="gelu"),
+        text=TextConfig(arch="llama", vocab_size=120, hidden_size=64,
+                        num_hidden_layers=4, num_attention_heads=4,
+                        intermediate_size=96, max_seq_len=128, pos="rope",
+                        norm_type="rmsnorm", norm_eps=1e-6,
+                        act="silu_glu", tie_embeddings=False, no_bias=True),
+        perceiver=IdeficsPerceiverConfig(depth=2, n_heads=4, head_dim=16,
+                                         n_latents=6, qk_layer_norms=True),
+        cross_layer_interval=2, qk_layer_norms=True,
+        additional_vocab_size=8,
+        media_token_id=126, eoc_token_id=2, eos_token_id=2,
+        answer_token_id=125)
+
+
 def idefics9b() -> IdeficsModelConfig:
     """HuggingFaceM4/idefics-9b: ViT-H/14 tower, LLaMA-7B trunk, xattn every
     4 layers, 64 latents, qk layer norms everywhere."""

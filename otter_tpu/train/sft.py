@@ -41,19 +41,32 @@ CONFIG_FACTORIES = {
     "mpt7b": cfgmod.otter_mpt7b,
     "mpt1b": cfgmod.otter_mpt1b,
     "llama7b-video": cfgmod.otter_llama7b_video,
+    "idefics9b": cfgmod.idefics9b,
+    "tiny-idefics": cfgmod.idefics_tiny,
     "tiny": lambda: OtterConfig.tiny("mpt"),
 }
 
 
 def build_model_and_config(args: TrainArgs):
+    """Model-zoo dispatch (reference instruction_following.py:331-427:
+    otter/flamingo/idefics branches)."""
     cfg = CONFIG_FACTORIES[args.model_config]()
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.model_name == "idefics":
+        from otter_tpu.models.idefics import IdeficsVLM
+        if args.customized_config:
+            import json
+            with open(args.customized_config) as f:
+                cfg = cfgmod.IdeficsModelConfig.from_dict(
+                    {**cfg.to_dict(), **json.load(f)})
+        return IdeficsVLM(cfg, dtype=dtype,
+                          remat=args.gradient_checkpointing), cfg
     if args.customized_config:
         import json
         with open(args.customized_config) as f:
             cfg = OtterConfig.from_dict({**cfg.to_dict(), **json.load(f)})
     if args.model_name == "flamingo":
         cfg = cfg.replace(use_media_placement_augmentation=True)
-    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     return OtterVLM(cfg, dtype=dtype,
                     remat=args.gradient_checkpointing), cfg
 

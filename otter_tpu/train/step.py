@@ -29,29 +29,39 @@ from flax import traverse_util
 from otter_tpu.config import OtterConfig
 
 
-def path_is_trainable(path: str, text_tied: bool) -> bool:
+def path_is_trainable(path: str, text_tied: bool,
+                      idefics: bool = False) -> bool:
     parts = path.split("/")
     if "perceiver" == parts[0]:
         return True
     if any(p.startswith("xattn_") for p in parts):
         return True
+    # LoRA adapters train (modeling_otter.py:895-898)
+    if parts[-1] in ("lora_a", "lora_b"):
+        return True
+    if idefics:
+        # idefics decoupled design: the frozen base embedding/lm_head stay
+        # frozen; only the additional-vocab halves train
+        # (IdeficsDecoupledEmbedding/Linear, freeze_text_layers=True)
+        return parts[0] in ("additional_embedding", "additional_fc")
     if parts[-2:] and "wte" in parts:
         return True
     if not text_tied and "lm_head" in parts:
         return True
-    # LoRA adapters train (modeling_otter.py:895-898)
-    if parts[-1] in ("lora_a", "lora_b"):
-        return True
     return False
 
 
-def split_params(params: Dict, cfg: OtterConfig) -> Tuple[Dict, Dict]:
-    """-> (trainable, frozen) param dicts (both flat-unflattened trees)."""
+def split_params(params: Dict, cfg) -> Tuple[Dict, Dict]:
+    """-> (trainable, frozen) param dicts (both flat-unflattened trees).
+    `cfg` is an OtterConfig or IdeficsModelConfig (detected by the
+    decoupled-vocab field)."""
     flat = traverse_util.flatten_dict(params, sep="/")
     tied = cfg.text.tie_embeddings
-    train = {k: v for k, v in flat.items() if path_is_trainable(k, tied)}
+    idefics = hasattr(cfg, "additional_vocab_size")
+    train = {k: v for k, v in flat.items()
+             if path_is_trainable(k, tied, idefics)}
     frozen = {k: v for k, v in flat.items()
-              if not path_is_trainable(k, tied)}
+              if not path_is_trainable(k, tied, idefics)}
     return (traverse_util.unflatten_dict(train, sep="/"),
             traverse_util.unflatten_dict(frozen, sep="/"))
 

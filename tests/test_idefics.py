@@ -6,31 +6,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from otter_tpu.config import (GenerationConfig, IdeficsModelConfig,
-                              IdeficsPerceiverConfig, TextConfig,
-                              VisionConfig)
+from otter_tpu.config import GenerationConfig, idefics_tiny
 from otter_tpu.generation.engine import OtterGenerator
 from otter_tpu.models.decoder import init_cache
 from otter_tpu.models.idefics import IdeficsVLM
 
 IMG, EOS = 126, 2
-
-
-def _tiny_cfg():
-    return IdeficsModelConfig(
-        vision=VisionConfig(hidden_size=48, intermediate_size=96,
-                            num_hidden_layers=2, num_attention_heads=4,
-                            image_size=28, patch_size=14, hidden_act="gelu"),
-        text=TextConfig(arch="llama", vocab_size=120, hidden_size=64,
-                        num_hidden_layers=4, num_attention_heads=4,
-                        intermediate_size=96, max_seq_len=128, pos="rope",
-                        norm_type="rmsnorm", norm_eps=1e-6,
-                        act="silu_glu", tie_embeddings=False, no_bias=True),
-        perceiver=IdeficsPerceiverConfig(depth=2, n_heads=4, head_dim=16,
-                                         n_latents=6, qk_layer_norms=True),
-        cross_layer_interval=2, qk_layer_norms=True,
-        additional_vocab_size=8,
-        media_token_id=IMG, eoc_token_id=EOS, eos_token_id=EOS)
+_tiny_cfg = idefics_tiny
 
 
 def _setup(rng, b=1, n=2, s=12):
@@ -96,6 +78,46 @@ def test_engine_generates_idefics(rng):
             [cur, jnp.full((1, 1), nxt, cur.dtype)], axis=1)
     got = list(out[0, ids.shape[1]: ids.shape[1] + len(naive)])
     assert got == naive, (got, naive)
+
+
+def test_idefics_freezing_policy_and_train_step(rng):
+    """The idefics freezing policy (reference instruction_following.py:
+    331-427, freeze_text_layers/vision): only perceiver, gated xattn and
+    the decoupled additional vocab train; the loss decreases."""
+    from flax import traverse_util
+    from otter_tpu.train.step import (TrainState, make_optimizer,
+                                      make_train_step, split_params)
+
+    cfg, model, params, vx, ids = _setup(rng, b=2)
+    trainable, frozen = split_params(params["params"], cfg)
+    t_flat = traverse_util.flatten_dict(trainable, sep="/")
+    f_flat = traverse_util.flatten_dict(frozen, sep="/")
+    assert any(k.startswith("perceiver/") for k in t_flat)
+    assert any(k.startswith("xattn_") for k in t_flat)
+    assert any(k.startswith("additional_embedding/") for k in t_flat)
+    assert any(k.startswith("additional_fc/") for k in t_flat)
+    # the frozen LM/vision halves stay frozen (decoupled design)
+    assert not any(k.startswith(("wte/", "lm_head/", "layers_",
+                                 "vision_encoder/")) for k in t_flat)
+    assert any(k.startswith("wte/") for k in f_flat)
+
+    labels = np.full(ids.shape, -100, np.int32)
+    labels[:, 4:10] = ids[:, 4:10]
+    batch = {"vision_x": vx, "input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones(ids.shape, jnp.int32),
+             "labels": jnp.asarray(labels)}
+    tx = make_optimizer(trainable, lr=5e-3, total_steps=20)
+    state = TrainState.create(params["params"], cfg, tx)
+    step = jax.jit(make_train_step(model, cfg, tx))
+    frozen_before = jax.tree_util.tree_leaves(state.frozen)
+    state, m0 = step(state, batch)
+    losses = [float(m0["loss"])]
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    for a, b in zip(frozen_before, jax.tree_util.tree_leaves(state.frozen)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_gated_xattn_blind_tokens_are_image_independent(rng):

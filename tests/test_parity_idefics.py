@@ -122,7 +122,11 @@ def test_image_attention_mask_semantics_match_hf():
 
 
 @pytest.mark.parity
-def test_idefics_logit_parity(rng):
+def test_idefics_logit_parity():
+    # own deterministic rng: the session fixture's state depends on test
+    # order, and the 1e-3 budget leaves little headroom over fp32
+    # accumulation noise across 4 layers + perceiver
+    rng = np.random.default_rng(7)
     cfg = _tiny_cfg()
     ref = _build_reference(cfg)
 
