@@ -12,12 +12,15 @@ import numpy as np
 class OtterImage:
     def __init__(self, model_path: str = "", *, config: str = "mpt7b",
                  tokenizer: str = "", max_new_tokens: int = 512,
-                 model=None, tok=None, patch_size: int = 224):
+                 model=None, tok=None, patch_size: int = 224,
+                 batch: int = 8):
         """model/tok may be injected directly (tests); otherwise loaded
-        from model_path/tokenizer."""
+        from model_path/tokenizer. `batch` caps generate_batch chunks
+        (reference adapters' max_batch_size)."""
         self.name = "otter_image"
         self.max_new_tokens = max_new_tokens
         self.patch_size = patch_size
+        self.max_batch_size = batch
         if model is not None:
             self.model, self.tokenizer = model, tok
         else:
@@ -55,6 +58,30 @@ class OtterImage:
         text = text.split("<answer>")[-1]
         text = text.split("<|endofchunk|>")[0]
         return text.strip().strip('"')
+
+    def generate_batch(self, prompts, raw_images) -> list:
+        """Batched generate for the public eval suite: prompts are FULL
+        prompt strings (few-shot context included), left-padded to one
+        batch (reference eval batches via eval_model.py:21-60)."""
+        from otter_tpu.generation.engine import left_pad
+        vision = np.concatenate([self._vision(im) for im in raw_images], 0)
+        encs = [self.tokenizer(p, return_tensors="np")["input_ids"][0]
+                .astype(np.int32) for p in prompts]
+        width = max(len(e) for e in encs)
+        ids = np.zeros((len(encs), width), np.int32)
+        mask = np.zeros((len(encs), width), np.int32)
+        for i, e in enumerate(encs):
+            ids[i, width - len(e):] = e
+            mask[i, width - len(e):] = 1
+        out = self.model.generate(vision, ids, attention_mask=mask,
+                                  max_new_tokens=self.max_new_tokens)
+        texts = []
+        for row in out[:, width:]:
+            text = self.tokenizer.decode(row)
+            text = text.split("<answer>")[-1]
+            text = text.split("<|endofchunk|>")[0]
+            texts.append(text.strip().strip('"'))
+        return texts
 
     def eval_forward(self, question: str, answer: str, image=None) -> float:
         from otter_tpu.data.templates import inference_prompt

@@ -124,3 +124,113 @@ def test_manifest_loaders(tmp_path):
     hm.write_text('{"img": "img/1.png", "label": 1, "text": "t"}\n')
     items = load_hateful_memes(str(hm), "/r")
     assert items[0]["class_id"] == 1
+
+
+def test_ok_vqa_stemming():
+    from otter_tpu.benchmarks.public_suite.ok_vqa_utils import (
+        OKVQAStemmer, postprocess_ok_vqa_generation)
+    st = OKVQAStemmer()
+    # manual-table entries (official OKVQA v1.1 constants)
+    assert st.stem("christmas") == "christmas"
+    assert st.stem("riding") == "ride"
+    assert st.stem("leaves") == "leaf"
+    # rules: -ing lemmatization + plural singularization
+    assert st.stem("running") == "run"
+    assert st.stem("dogs") == "dog"
+    # postprocess truncates at the next turn before stemming
+    assert postprocess_ok_vqa_generation(
+        "two dogs Question: what else") == "two dog"
+
+
+def test_eval_vqa_ok_vqa_applies_stemming():
+    model = ScriptedEvalModel(answer="riding horses")
+    items = [{"image": None, "question": "q?",
+              "answers": ["ride horse"] * 10}]
+    plain = evaluate_vqa(model, test_items=items, dataset_name="vqav2")
+    stemmed = evaluate_vqa(model, test_items=items, dataset_name="ok_vqa")
+    assert plain == 0.0
+    assert stemmed == 100.0
+
+
+class BatchScriptedModel(ScriptedEvalModel):
+    """Counts batch calls to prove the batched path is used."""
+
+    max_batch_size = 4
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.batch_calls = []
+
+    def generate_batch(self, prompts, images):
+        self.batch_calls.append(len(prompts))
+        return [self.generate(p, im) for p, im in zip(prompts, images)]
+
+
+def test_eval_vqa_batched_matches_itemwise():
+    items = [{"image": None, "question": f"q{i}?", "answers": ["red"] * 10}
+             for i in range(6)]
+    item_model = ScriptedEvalModel()
+    batch_model = BatchScriptedModel()
+    a = evaluate_vqa(item_model, test_items=items)
+    b = evaluate_vqa(batch_model, test_items=items)
+    assert a == b == 100.0
+    assert batch_model.batch_calls == [4, 2]  # chunked by max_batch_size
+
+
+def test_two_process_eval_identical_global_score(tmp_path):
+    """A 2-process distributed eval produces ONE identical global score on
+    every process, equal to the single-process score (the reference gathers
+    across DDP before scoring)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    items = [{"image": None, "question": f"q{i}?",
+              "answers": (["red"] * 10 if i % 3 else ["blue"] * 10)}
+             for i in range(7)]
+    manifest = tmp_path / "items.json"
+    manifest.write_text(json.dumps(items))
+
+    # single-process reference score
+    expected = evaluate_vqa(ScriptedEvalModel(), test_items=items)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = f"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:{port}",
+                           num_processes=2, process_id=int(sys.argv[1]))
+sys.path.insert(0, {str(tmp_path)!r})
+from otter_tpu.benchmarks.public_suite.evaluate import evaluate_vqa
+
+class M:
+    def generate(self, prompt, image=None):
+        return "red"
+
+items = json.load(open({str(manifest)!r}))
+score = evaluate_vqa(M(), test_items=items, rank=jax.process_index(),
+                     world=jax.process_count())
+print("SCORE", jax.process_index(), score)
+"""
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", script, str(i)],
+        cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": ""}) for i in range(2)]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+    scores = {}
+    for out, _ in outs:
+        for line in out.splitlines():
+            if line.startswith("SCORE"):
+                _, rank, sc = line.split()
+                scores[int(rank)] = float(sc)
+    assert set(scores) == {0, 1}
+    assert scores[0] == scores[1] == pytest.approx(expected)
