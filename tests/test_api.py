@@ -2,6 +2,9 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from otter_tpu import (FlamingoForConditionalGeneration, OtterConfig,
                        OtterForConditionalGeneration)

@@ -6,6 +6,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from PIL import Image
 
 from helpers import TinyTokenizer
@@ -146,6 +147,7 @@ def test_device_image_prep_matches_pil(rng):
     assert np.corrcoef(np.asarray(out).ravel(), refs.ravel())[0, 1] > 0.99
 
 
+@pytest.mark.slow
 def test_inference_yaml_driver(tmp_path, rng):
     """YAML batch inference (demos/inference.py) over the tiny model."""
     import yaml

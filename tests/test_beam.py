@@ -5,6 +5,9 @@ beam=2 runs end-to-end on the tiny model)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from otter_tpu.config import GenerationConfig, OtterConfig
 from otter_tpu.generation.beam import beam_search

@@ -141,6 +141,7 @@ def test_evaluate_yaml_driver(tmp_path, monkeypatch):
                __import__("os").listdir(tmp_path))
 
 
+@pytest.mark.slow
 def test_otter_image_adapter_tiny(rng):
     import jax.numpy as jnp
     from otter_tpu import OtterConfig, OtterForConditionalGeneration
@@ -159,6 +160,7 @@ def test_otter_image_adapter_tiny(rng):
     assert np.isfinite(score)
 
 
+@pytest.mark.slow
 def test_fuyu_adapter_tiny(rng):
     import jax
     import jax.numpy as jnp
@@ -198,6 +200,7 @@ def test_fuyu_adapter_tiny(rng):
     assert np.isfinite(score)
 
 
+@pytest.mark.slow
 def test_idefics_adapter_tiny(rng):
     import jax
     import jax.numpy as jnp

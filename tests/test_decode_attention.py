@@ -72,6 +72,7 @@ def test_decode_attention_with_alibi_bias(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_decoder_decode_kernel_matches_einsum(rng):
     """Cached decode with decode_kernel=True reproduces the einsum path."""
     import jax

@@ -4,8 +4,11 @@ FuyuBatcher into full-finetune steps; loss decreases."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 from PIL import Image
+
+pytestmark = pytest.mark.slow
 
 from helpers import TinyTokenizer
 from otter_tpu.config import FuyuConfig

@@ -4,6 +4,9 @@ greedy decode; streaming path consistency; sampling utilities."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from otter_tpu.config import GenerationConfig, OtterConfig
 from otter_tpu.generation import sampling

@@ -5,6 +5,9 @@ unchanged."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from otter_tpu.config import GenerationConfig, idefics_tiny
 from otter_tpu.generation.engine import OtterGenerator

@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, "/root/reference/src")
 
 torch = pytest.importorskip("torch")

@@ -6,6 +6,8 @@ dims vs otter_tpu's IdeficsVLM, weights moved through the converter."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

@@ -6,6 +6,9 @@ modeling_otter.py:1022-1029)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from otter_tpu.config import GenerationConfig, OtterConfig, ParallelConfig
 from otter_tpu.generation.engine import OtterGenerator

@@ -72,6 +72,7 @@ def test_causal_lm_loss_masking():
     np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_and_freezes(rng):
     cfg, model, params, batch = _setup(rng)
     trainable, frozen = split_params(params, cfg)
@@ -100,6 +101,7 @@ def test_train_step_decreases_loss_and_freezes(rng):
             assert set(changed.tolist()) <= allowed, changed
 
 
+@pytest.mark.slow
 def test_sharded_train_step_8dev(rng):
     cfg, model, params, batch = _setup(rng, b=4)
     pcfg = ParallelConfig(dp=2, fsdp=2, tp=2)
@@ -114,6 +116,7 @@ def test_sharded_train_step_8dev(rng):
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_sharded_step_compiles_without_spmd_remat(rng, capfd):
     """GSPMD must partition the whole train step without falling back to
     "involuntary full rematerialization" (replicate + repartition). The
@@ -135,6 +138,7 @@ def test_sharded_step_compiles_without_spmd_remat(rng, capfd):
     assert "Involuntary full rematerialization" not in err, err
 
 
+@pytest.mark.slow
 def test_grad_accumulation(rng):
     cfg, model, params, batch = _setup(rng)
     trainable, _ = split_params(params, cfg)

@@ -125,6 +125,7 @@ def test_label_policies():
     assert lab[0, 7] == 14
 
 
+@pytest.mark.slow
 def test_pretrain_step_tiny(tmp_path, rng):
     import jax
     import jax.numpy as jnp
