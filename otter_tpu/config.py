@@ -133,9 +133,10 @@ class TextConfig(_JsonMixin):
     # modeling_otter.py:808-829); 0 disables
     lora_rank: int = 0
     lora_alpha: float = 16.0
-    # use the Pallas decode-attention kernel (length-guarded cache reads)
-    # for cached decoding instead of the XLA einsum path
-    decode_kernel: bool = False
+    # Pallas decode-attention kernel (length-guarded cache reads) for
+    # cached decoding: False | True | "auto" (kernel when cache len >= 1024,
+    # where it measures −20% step time; einsum below — see BENCH_NOTES.md)
+    decode_kernel: Any = False
     # extra rows appended to the embedding for special tokens (<image>, <answer>,
     # <|endofchunk|>, <PAD>); reference resizes llama embeddings
     # (`modeling_otter.py:573-575`).

@@ -1,0 +1,368 @@
+"""Continuous batching: many concurrent streaming requests share ONE jitted
+decode step over a fixed pool of batch slots.
+
+The reference worker serializes requests behind a semaphore
+(`pipeline/serve/model_worker.py:156-160,296-309`) — each request runs its
+own HF generate. Here a request is admitted into a free slot (single-row
+prefill at a bucketed length, KV scattered into the pooled cache), and one
+decode step advances EVERY active slot per iteration, so aggregate tok/s
+scales with concurrency instead of queueing. TPU-native constraints shape
+the design:
+
+  - static shapes: the slot pool, cache length and prefill buckets are
+    fixed; jit variants are keyed by bucket only
+  - per-row cache offsets: each slot has its own length; the decoder's
+    vector `cache_pos` path scatters the new KV at `written[slot]`
+  - per-row sampling: temperature/top-k/top-p/eos are [B] arrays inside
+    one jitted sampler (no per-request recompiles)
+  - sequence-aware bans (no_repeat_ngram/bad_words) run per distinct
+    config present among active slots, row-gated, against the pooled
+    on-device token buffer
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otter_tpu.config import GenerationConfig
+from otter_tpu.generation import sampling
+from otter_tpu.generation.engine import left_pad
+from otter_tpu.models.decoder import init_cache
+
+
+def _round_bucket(n: int, buckets: Tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket "
+                     f"{buckets[-1]}")
+
+
+def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
+    """Vectorized per-row sampling: every control is a [B] array."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    v = logits.shape[-1]
+    # per-row top-k: threshold at the k-th largest (k=0 -> no filter)
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(top_k - 1, 0, v - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    scaled = jnp.where((top_k[:, None] > 0) & (scaled < kth),
+                       sampling.NEG_INF, scaled)
+    # per-row top-p (nucleus), always keeping the argmax
+    probs = jax.nn.softmax(jnp.sort(scaled, axis=-1)[:, ::-1], axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < top_p[:, None]
+    sorted_scaled = jnp.sort(scaled, axis=-1)[:, ::-1]
+    thresh = jnp.min(jnp.where(keep, sorted_scaled, jnp.inf), axis=-1,
+                     keepdims=True)
+    scaled = jnp.where(scaled < thresh, sampling.NEG_INF, scaled)
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
+@dataclass
+class _Slot:
+    active: bool = False
+    gen: Optional[GenerationConfig] = None
+    out: Optional[queue.Queue] = None
+    real_len: int = 0       # true prompt tokens (pads excluded)
+    bucket: int = 0         # prefill bucket = first decode write column
+    written: int = 0        # next cache column to write
+    emitted: int = 0        # generated tokens so far
+    media: int = 0          # <image> tokens in the prompt
+    last_tok: int = 0
+
+
+class ContinuousBatcher:
+    """Slot-pool streaming engine. `submit()` is thread-safe and returns an
+    iterator of token ids; a background thread multiplexes all requests
+    through one decode step per iteration."""
+
+    def __init__(self, model, params, cfg, *, num_slots: int = 4,
+                 cache_len: int = 2048,
+                 buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024),
+                 max_media: int = 1, cache_dtype=jnp.bfloat16,
+                 rng_seed: int = 0):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.n = num_slots
+        self.L = cache_len
+        self.buckets = tuple(sorted(buckets))
+        self.max_media = max_media
+        self.cache_dtype = cache_dtype
+
+        self._slots = [_Slot() for _ in range(num_slots)]
+        self._pending: "queue.Queue[tuple]" = queue.Queue()
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._stop = False
+
+        # pooled device state
+        self._cache = init_cache(cfg.text, num_slots, cache_len, cache_dtype)
+        self._buffer = jnp.zeros((num_slots, cache_len), jnp.int32)
+        self._valid = jnp.zeros((num_slots, cache_len), bool)
+        self._latents: Optional[jnp.ndarray] = None  # lazy: needs latent dims
+
+        self._prefill_fns: Dict[int, Any] = {}
+        self._insert_fns: Dict[int, Any] = {}
+        self._decode_fns: Dict[Any, Any] = {}
+
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ── public API ────────────────────────────────────────────────────
+
+    def submit(self, vision_x, lang_x,
+               gen: Optional[GenerationConfig] = None):
+        """Enqueue one request; yields generated token ids (eos excluded)."""
+        gen = gen or GenerationConfig()
+        out: "queue.Queue" = queue.Queue()
+        self._pending.put((np.asarray(vision_x), np.asarray(lang_x),
+                           gen, out))
+        self._work.set()
+
+        def stream():
+            while True:
+                tok = out.get()
+                if tok is None:
+                    return
+                yield tok
+
+        return stream()
+
+    def shutdown(self):
+        self._stop = True
+        self._work.set()
+        self._thread.join(timeout=10)
+
+    def active_count(self) -> int:
+        with self._lock:
+            return (sum(s.active for s in self._slots)
+                    + self._pending.qsize())
+
+    # ── jitted pieces ─────────────────────────────────────────────────
+
+    def _get_prefill(self, bucket: int):
+        if bucket not in self._prefill_fns:
+            def prefill(params, vision_x, lang_x, mask):
+                cache = init_cache(self.cfg.text, 1, bucket,
+                                   self.cache_dtype)
+                positions = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0,
+                                     None).astype(jnp.int32)
+                logits, cache, lat = self.model.apply(
+                    params, vision_x, lang_x, attention_mask=mask,
+                    positions=positions, cache=cache)
+                return logits[:, -1], cache, lat
+            self._prefill_fns[bucket] = jax.jit(prefill)
+        return self._prefill_fns[bucket]
+
+    def _get_insert(self, bucket: int):
+        if bucket not in self._insert_fns:
+            def insert(big, small, buffer, valid, latents, slot,
+                       ids_row, mask_row, lat_row):
+                for name in big:
+                    big = dict(big)
+                    layer = dict(big[name])
+                    for kv in ("k", "v"):
+                        layer[kv] = layer[kv].at[slot, :, :bucket, :].set(
+                            small[name][kv][0])
+                    big[name] = layer
+                buffer = buffer.at[slot, :bucket].set(ids_row)
+                row_valid = jnp.zeros((self.L,), bool).at[:bucket].set(
+                    mask_row.astype(bool))
+                valid = valid.at[slot].set(row_valid)
+                t = lat_row.shape[1]
+                latents = latents.at[slot, :t].set(lat_row[0])
+                return big, buffer, valid, latents
+            self._insert_fns[bucket] = jax.jit(insert)
+        return self._insert_fns[bucket]
+
+    def _get_decode(self, lp_configs: Tuple[Tuple[int, Any], ...]):
+        """lp_configs: distinct (ngram, bad_words_ids) among active slots;
+        rows select theirs via lp_idx (-1 = none)."""
+        key = lp_configs
+        if key in self._decode_fns:
+            return self._decode_fns[key]
+
+        def decode(params, cache, buffer, valid, latents, toks, written,
+                   positions, media, active, lp_idx, valid_from,
+                   do_sample, temperature, top_k, top_p, eos, rng):
+            cols = jnp.arange(self.L)[None, :]
+            kv_valid = valid | (cols == written[:, None])
+            logits, cache, _ = self.model.apply(
+                params, None, toks[:, None], vis_latents=latents,
+                cache=cache, cache_pos=written, kv_valid=kv_valid,
+                positions=positions[:, None], media_counts=media)
+            logits = logits[:, -1]
+            buffer = buffer.at[jnp.arange(self.n), written].set(toks)
+            valid = kv_valid
+            # row-gated sequence bans per distinct config
+            for ci, (ngram, bad_words) in enumerate(lp_configs):
+                gen = GenerationConfig(no_repeat_ngram_size=ngram,
+                                       bad_words_ids=bad_words)
+                processed = sampling.process_logits(
+                    logits, buffer, written + 1, gen, valid_from)
+                logits = jnp.where((lp_idx == ci)[:, None], processed,
+                                   logits)
+            nxt = sample_rows(rng, logits, do_sample=do_sample,
+                              temperature=temperature, top_k=top_k,
+                              top_p=top_p)
+            nxt = jnp.where(active, nxt, 0)
+            return nxt, cache, buffer, valid
+
+        self._decode_fns[key] = jax.jit(decode)
+        return self._decode_fns[key]
+
+    # ── scheduler ─────────────────────────────────────────────────────
+
+    def _admit_one(self, vision_x, lang_x, gen, out) -> bool:
+        free = next((i for i, s in enumerate(self._slots)
+                     if not s.active), None)
+        if free is None:
+            return False
+        lang_x = np.asarray(lang_x)
+        real = int(lang_x.shape[1])
+        bucket = _round_bucket(real, self.buckets)
+        ids, mask = left_pad(lang_x, None, target_len=bucket,
+                             pad_id=gen.pad_token_id)
+        last_logits, small, lat = self._get_prefill(bucket)(
+            self.params, jnp.asarray(vision_x), jnp.asarray(ids),
+            jnp.asarray(mask))
+        if self._latents is None:
+            shape = (self.n, self.max_media) + tuple(lat.shape[2:])
+            self._latents = jnp.zeros(shape, lat.dtype)
+
+        self._cache, self._buffer, self._valid, self._latents = \
+            self._get_insert(bucket)(
+                self._cache, small, self._buffer, self._valid,
+                self._latents, free, jnp.asarray(ids[0]),
+                jnp.asarray(mask[0]), lat)
+
+        # first token from the prefill logits
+        media = int(np.sum(lang_x == self.cfg.media_token_id))
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        self._rng, sub = jax.random.split(self._rng)
+        gcfg = gen
+        first_logits = last_logits
+        if gen.no_repeat_ngram_size or gen.bad_words_ids:
+            first_logits = sampling.process_logits(
+                first_logits, jnp.asarray(ids), bucket, gcfg,
+                bucket - real)
+        tok = int(sampling.sample_token(
+            sub, first_logits, do_sample=gen.do_sample,
+            temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p)[0])
+
+        slot = self._slots[free]
+        slot.gen = gen
+        slot.out = out
+        slot.real_len = real
+        slot.bucket = bucket
+        slot.written = bucket
+        slot.emitted = 1
+        slot.media = media
+        slot.last_tok = tok
+        slot.active = True
+        if tok == eos or gen.max_new_tokens <= 1:
+            if tok != eos:
+                out.put(tok)
+            out.put(None)
+            slot.active = False
+        else:
+            out.put(tok)
+        return True
+
+    def _admit(self):
+        while not self._pending.empty():
+            if not any(not s.active for s in self._slots):
+                return
+            try:
+                item = self._pending.get_nowait()
+            except queue.Empty:
+                return
+            self._admit_one(*item)
+
+    def _step(self):
+        with self._lock:
+            slots = list(self._slots)
+        act = [s.active for s in slots]
+        if not any(act):
+            return False
+
+        def arr(fn, dtype):
+            return jnp.asarray([fn(s) for s in slots], dtype)
+
+        # distinct sequence-ban configs among active slots
+        lp_list: List[Tuple[int, Any]] = []
+        lp_idx = []
+        for s in slots:
+            if s.active and s.gen and (s.gen.no_repeat_ngram_size
+                                       or s.gen.bad_words_ids):
+                c = (s.gen.no_repeat_ngram_size, s.gen.bad_words_ids)
+                if c not in lp_list:
+                    lp_list.append(c)
+                lp_idx.append(lp_list.index(c))
+            else:
+                lp_idx.append(-1)
+
+        self._rng, sub = jax.random.split(self._rng)
+        nxt, self._cache, self._buffer, self._valid = self._get_decode(
+            tuple(lp_list))(
+            self.params, self._cache, self._buffer, self._valid,
+            self._latents,
+            arr(lambda s: s.last_tok, jnp.int32),
+            arr(lambda s: s.written, jnp.int32),
+            arr(lambda s: s.real_len + s.emitted - 1, jnp.int32),
+            arr(lambda s: s.media, jnp.int32),
+            arr(lambda s: s.active, bool),
+            jnp.asarray(lp_idx, jnp.int32),
+            arr(lambda s: s.bucket - s.real_len, jnp.int32),
+            arr(lambda s: bool(s.gen.do_sample) if s.gen else False, bool),
+            arr(lambda s: s.gen.temperature if s.gen
+                and s.gen.do_sample and s.gen.temperature > 0 else 1.0,
+                jnp.float32),
+            arr(lambda s: s.gen.top_k if s.gen else 0, jnp.int32),
+            arr(lambda s: s.gen.top_p if s.gen else 1.0, jnp.float32),
+            arr(lambda s: (s.gen.eos_token_id
+                           if s.gen and s.gen.eos_token_id is not None
+                           else self.cfg.eoc_token_id), jnp.int32),
+            sub)
+        toks = np.asarray(nxt)
+        for i, s in enumerate(slots):
+            if not s.active:
+                continue
+            tok = int(toks[i])
+            eos = s.gen.eos_token_id if s.gen.eos_token_id is not None \
+                else self.cfg.eoc_token_id
+            s.written += 1
+            s.emitted += 1
+            if tok == eos:
+                s.out.put(None)
+                s.active = False
+            elif s.emitted >= s.gen.max_new_tokens \
+                    or s.written >= self.L:
+                s.out.put(tok)
+                s.out.put(None)
+                s.active = False
+            else:
+                s.out.put(tok)
+                s.last_tok = tok
+        return any(s.active for s in slots)
+
+    def _loop(self):
+        while not self._stop:
+            self._admit()
+            busy = self._step()
+            if not busy and self._pending.empty():
+                self._work.clear()
+                self._work.wait(timeout=0.2)

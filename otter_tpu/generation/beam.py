@@ -38,6 +38,59 @@ def beam_search(
     SURVEY hard part #2). The caller is responsible for processing
     `init_logits` (t=0) itself.
     """
+    state, body, penalize = _beam_setup(
+        init_logits, cache, num_beams=num_beams,
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, length_penalty=length_penalty,
+        step_fn=step_fn, logits_processor=logits_processor)
+    state = jax.lax.fori_loop(1, max_new_tokens, body, state)
+    return _beam_best(state, max_new_tokens, penalize)
+
+
+def beam_search_chunks(
+    step_fn: Callable,
+    init_logits: jnp.ndarray,
+    cache,
+    *,
+    num_beams: int,
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    length_penalty: float = 1.0,
+    logits_processor: Callable = None,
+    chunk: int = 8,
+):
+    """Streaming beam search: yields (tokens [B, max_new], length_so_far)
+    of the CURRENT best beam after every `chunk` steps (final yield is the
+    beam_search() result). Earlier yields are live previews — a later
+    chunk may revise them, which the `\\0`-JSON cumulative-text protocol
+    expresses naturally (the UI re-renders the whole message per chunk,
+    gradio_web_server.py:396-400)."""
+    state, body, penalize = _beam_setup(
+        init_logits, cache, num_beams=num_beams,
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, length_penalty=length_penalty,
+        step_fn=step_fn, logits_processor=logits_processor)
+
+    @jax.jit
+    def run_chunk(state, t0, t1):
+        return jax.lax.fori_loop(t0, t1, body, state)
+
+    t = 1
+    while t < max_new_tokens:
+        t1 = min(t + chunk, max_new_tokens)
+        state = run_chunk(state, t, t1)
+        out, _ = _beam_best(state, t1, penalize)
+        yield out, t1
+        t = t1
+    if max_new_tokens == 1:
+        out, _ = _beam_best(state, 1, penalize)
+        yield out, 1
+
+
+def _beam_setup(init_logits, cache, *, num_beams, max_new_tokens,
+                eos_token_id, pad_token_id, length_penalty, step_fn,
+                logits_processor):
     b, vocab = init_logits.shape
     k = num_beams
 
@@ -115,11 +168,15 @@ def beam_search(
         return tokens, live_scores, fin_tokens, fin_scores, fin_lens, cache
 
     state = (tokens, live_scores, fin_tokens, fin_scores, fin_lens, cache)
-    state = jax.lax.fori_loop(1, max_new_tokens, body, state)
-    tokens, live_scores, fin_tokens, fin_scores, fin_lens, _ = state
+    return state, body, penalize
 
-    # choose between best finished and best live (penalized at full length)
-    best_live = penalize(live_scores, max_new_tokens)
+
+def _beam_best(state, cur_len: int, penalize) -> Tuple[jnp.ndarray,
+                                                       jnp.ndarray]:
+    """Best sequence so far: best finished vs best live (penalized at the
+    current length)."""
+    tokens, live_scores, fin_tokens, fin_scores, fin_lens, _ = state
+    best_live = penalize(live_scores, cur_len)
     use_fin = fin_scores[:, 0] >= best_live[:, 0]
     out = jnp.where(use_fin[:, None], fin_tokens[:, 0], tokens[:, 0])
     score = jnp.where(use_fin, fin_scores[:, 0], best_live[:, 0])

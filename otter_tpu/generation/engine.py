@@ -233,6 +233,86 @@ class OtterGenerator:
 
         return jax.jit(run)
 
+    # ── streaming beam search (serving) ──────────────────────────────
+
+    def stream_beam_generate(self, vision_x, lang_x, attention_mask=None,
+                             gen: Optional[GenerationConfig] = None,
+                             chunk: int = 4) -> Iterator[list]:
+        """Beam search with live streaming: yields the CURRENT best beam's
+        token list every `chunk` steps (the final yield is exactly
+        `generate(num_beams=k)`'s continuation). Later yields may revise
+        earlier tokens — cumulative-text protocols re-render per chunk, so
+        this unifies beams with the worker's streaming path."""
+        from otter_tpu.generation.beam import beam_search_chunks
+        gen = gen or GenerationConfig()
+        k = gen.num_beams
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        lang_x = jnp.asarray(lang_x)
+        b, p = lang_x.shape
+        assert b == 1, "streaming serves one request; batch via " \
+                       "generation.batching.ContinuousBatcher"
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, p), jnp.int32)
+        attention_mask = jnp.asarray(attention_mask)
+        cache_len = _round_up(p + gen.max_new_tokens, 128)
+
+        key = ("beam_stream", b, p, cache_len, k)
+        if key not in self._prefill_fns:
+            def prefill(params, vision_x, lang_x, attention_mask):
+                vx = jnp.repeat(vision_x, k, axis=0)
+                lx = jnp.repeat(lang_x, k, axis=0)
+                am = jnp.repeat(attention_mask, k, axis=0)
+                cache = init_cache(self.cfg.text, b * k, cache_len,
+                                   self.cache_dtype)
+                last_logits, cache, vis_latents = self._prefill(
+                    params, vx, lx, am, cache)
+                media_counts = jnp.sum(
+                    (lx == self.cfg.media_token_id).astype(jnp.int32),
+                    axis=-1)
+                real_len = jnp.sum(am.astype(jnp.int32), axis=-1)
+                kv_valid0 = jnp.concatenate(
+                    [am.astype(bool),
+                     jnp.zeros((b * k, cache_len - p), bool)], axis=-1)
+                return (last_logits, cache, vis_latents, media_counts,
+                        real_len, kv_valid0, lx)
+            self._prefill_fns[key] = jax.jit(prefill)
+
+        (last_logits, cache, vis_latents, media_counts, real_len,
+         kv_valid0, lx) = self._prefill_fns[key](
+            self.params, jnp.asarray(vision_x), lang_x, attention_mask)
+        valid_from = p - real_len
+        init_logits = sampling.process_logits(
+            last_logits[::k], lang_x, p, gen, valid_from[::k])
+
+        def step_fn(tok, cache_, t):
+            kv_valid = kv_valid0 | (jnp.arange(cache_len)[None] < p + t)
+            positions = (real_len + t - 1)[:, None].astype(jnp.int32)
+            logits, cache_ = self._step(
+                self.params, tok, cache_, p + t - 1, kv_valid, positions,
+                vis_latents, media_counts)
+            return logits, cache_
+
+        def logits_processor(logits, gen_tokens, t):
+            buf = jnp.concatenate([lx, gen_tokens], axis=1)
+            return sampling.process_logits(logits, buf, p + t, gen,
+                                           valid_from)
+
+        lp = (logits_processor if gen.no_repeat_ngram_size
+              or gen.bad_words_ids else None)
+        for out, t in beam_search_chunks(
+                step_fn, init_logits, cache, num_beams=k,
+                max_new_tokens=gen.max_new_tokens, eos_token_id=eos,
+                pad_token_id=gen.pad_token_id,
+                length_penalty=gen.length_penalty, logits_processor=lp,
+                chunk=chunk):
+            toks = []
+            for x in np.asarray(out[0, :t]):
+                if int(x) == eos:
+                    break
+                toks.append(int(x))
+            yield toks
+
     # ── streaming generate (serving) ─────────────────────────────────
 
     def stream_generate(self, vision_x, lang_x, attention_mask=None,

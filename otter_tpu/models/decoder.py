@@ -159,13 +159,26 @@ class SelfAttention(nn.Module):
 
         new_cache = None
         if cache is not None and cache_pos is not None and kv_valid is not None:
-            # decode: append k,v at cache_pos, attend against full cache
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(
-                cache["k"].dtype), (0, 0, cache_pos, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(
-                cache["v"].dtype), (0, 0, cache_pos, 0))
+            # decode: append k,v at cache_pos, attend against full cache.
+            # cache_pos may be a scalar (whole batch at one offset — the
+            # single-stream engine) or a [B] vector (per-row offsets — the
+            # continuous-batching engine, where each slot has its own
+            # length).
+            if getattr(cache_pos, "ndim", 0) == 1:
+                assert s == 1, "per-row cache_pos requires q_len == 1"
+                rows = jnp.arange(b)
+                ck = cache["k"].at[rows, :, cache_pos, :].set(
+                    k[:, :, 0, :].astype(cache["k"].dtype))
+                cv = cache["v"].at[rows, :, cache_pos, :].set(
+                    v[:, :, 0, :].astype(cache["v"].dtype))
+            else:
+                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(
+                    cache["k"].dtype), (0, 0, cache_pos, 0))
+                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(
+                    cache["v"].dtype), (0, 0, cache_pos, 0))
             new_cache = {"k": ck, "v": cv}
-            if c.decode_kernel and s == 1 and q.shape[1] == ck.shape[1]:
+            if self._use_decode_kernel(ck) and s == 1 \
+                    and q.shape[1] == ck.shape[1]:
                 # Pallas decode kernel: reads only valid cache blocks
                 from otter_tpu.ops.decode_attention import decode_attention
                 L = ck.shape[2]
@@ -200,6 +213,16 @@ class SelfAttention(nn.Module):
 
     def _scale(self):
         return self.cfg.head_dim ** -0.5
+
+    def _use_decode_kernel(self, cache_k) -> bool:
+        """decode_kernel: False | True | "auto". "auto" routes long caches
+        through the Pallas length-guarded kernel (measured −20% step time at
+        L=2048 vs the einsum path, BENCH_NOTES.md) and keeps short caches on
+        XLA einsum (per-(b,h) kernel launch overhead dominates below ~1k)."""
+        mode = self.cfg.decode_kernel
+        if mode == "auto":
+            return cache_k.shape[2] >= 1024
+        return bool(mode)
 
 
 class PerHeadRMS(nn.Module):
@@ -354,8 +377,12 @@ class Decoder(nn.Module):
             if decoding:
                 L = cache["layers_0"]["k"].shape[2]
                 # column j gets (j - last_pos) * slope; last_pos = cache_pos+s-1
-                rel = (jnp.arange(L, dtype=jnp.int32) - (cache_pos + s - 1))
-                bias = rel[None, None, None, :] * slopes[None, :, None, None]
+                # (cache_pos scalar, or [B] for per-row continuous batching)
+                last = jnp.broadcast_to(jnp.asarray(cache_pos) + s - 1, (b,))
+                rel = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                       - last[:, None])
+                bias = (rel[:, None, None, :]
+                        * slopes[None, :, None, None])
             else:
                 rel = jnp.arange(1 - s, 1, dtype=jnp.int32)
                 bias = rel[None, None, None, :] * slopes[None, :, None, None]

@@ -130,6 +130,55 @@ class ModelWorker:
                 self._active -= 1
 
 
+def _parse_gen_kwargs(gk: dict):
+    from otter_tpu.config import GenerationConfig
+    return GenerationConfig(
+        max_new_tokens=int(gk.get("max_new_tokens", 512)),
+        do_sample=bool(gk.get("do_sample", False)),
+        temperature=float(gk.get("temperature", 1.0)),
+        top_k=int(gk.get("top_k", 0)),
+        top_p=float(gk.get("top_p", 1.0)),
+        num_beams=int(gk.get("num_beams", 1)),
+        length_penalty=float(gk.get("length_penalty", 1.0)),
+        no_repeat_ngram_size=int(gk.get("no_repeat_ngram_size", 0)),
+        bad_words_ids=(tuple(tuple(int(t) for t in seq)
+                             for seq in gk["bad_words_ids"])
+                       if gk.get("bad_words_ids") else None),
+    )
+
+
+def make_batched_stream_fn(batcher, tokenizer, cfg, *,
+                           stream_interval: int = 2):
+    """Streaming bridge over the ContinuousBatcher: concurrent requests
+    decode in one shared step (aggregate tok/s scales with concurrency
+    instead of queueing behind the reference's semaphore)."""
+    patch_size = cfg.vision.image_size
+
+    def stream_fn(params: dict):
+        import numpy as np
+        prompt = params["prompt"]
+        vision_x = decode_images_to_vision_x(params.get("images"),
+                                             patch_size=patch_size)
+        if vision_x is None:
+            vision_x = np.zeros((1, 1, 1, 3, patch_size, patch_size),
+                                np.float32)
+        gen = _parse_gen_kwargs(params.get("generation_kwargs", {}))
+        enc = tokenizer(prompt, return_tensors="np")
+        lang_x = enc["input_ids"].astype(np.int32)
+        text, pending = "", []
+        for i, tok in enumerate(batcher.submit(vision_x, lang_x, gen)):
+            pending.append(tok)
+            if (i + 1) % stream_interval == 0:
+                text += tokenizer.decode(pending, skip_special_tokens=True)
+                pending = []
+                yield text
+        if pending:
+            text += tokenizer.decode(pending, skip_special_tokens=True)
+        yield text
+
+    return stream_fn
+
+
 def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
     """Bridges the HTTP params to the jitted streaming engine."""
     import jax.numpy as jnp
@@ -144,20 +193,16 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
         if vision_x is None:
             vision_x = np.zeros((1, 1, 1, 3, patch_size, patch_size),
                                 np.float32)
-        gk = params.get("generation_kwargs", {})
-        gen = GenerationConfig(
-            max_new_tokens=int(gk.get("max_new_tokens", 512)),
-            do_sample=bool(gk.get("do_sample", False)),
-            temperature=float(gk.get("temperature", 1.0)),
-            top_k=int(gk.get("top_k", 0)),
-            top_p=float(gk.get("top_p", 1.0)),
-            no_repeat_ngram_size=int(gk.get("no_repeat_ngram_size", 0)),
-            bad_words_ids=(tuple(tuple(int(t) for t in seq)
-                                 for seq in gk["bad_words_ids"])
-                           if gk.get("bad_words_ids") else None),
-        )
+        gen = _parse_gen_kwargs(params.get("generation_kwargs", {}))
         enc = tokenizer(prompt, return_tensors="np")
         lang_x = enc["input_ids"].astype(np.int32)
+        if gen.num_beams > 1:
+            # beams stream too: best-beam-so-far per chunk (cumulative
+            # re-render, may revise earlier tokens)
+            for toks in engine.stream_beam_generate(
+                    jnp.asarray(vision_x), lang_x, gen=gen):
+                yield tokenizer.decode(toks, skip_special_tokens=True)
+            return
         text, pending = "", []
         for i, tok in enumerate(engine.stream_generate(
                 jnp.asarray(vision_x), lang_x, gen=gen)):
@@ -224,6 +269,11 @@ def main():
     p.add_argument("--load-bit", default="bf16",
                    choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-register", action="store_true")
+    p.add_argument("--continuous-batching", action="store_true",
+                   help="multiplex concurrent requests through one shared "
+                        "decode step (slot pool) instead of serializing")
+    p.add_argument("--num-slots", type=int, default=4)
+    p.add_argument("--cache-len", type=int, default=2048)
     args = p.parse_args()
 
     import jax
@@ -237,6 +287,8 @@ def main():
 
     enable_compile_cache()
     cfg = cfgmod.PRESETS[args.config]()
+    # serving default: route long caches through the Pallas decode kernel
+    cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
              "int8": jnp.bfloat16}[args.load_bit]
     quantize = args.load_bit == "int8"
@@ -264,8 +316,15 @@ def main():
     if quantize:
         from otter_tpu.ops.quant import quantize_params
         params = {"params": quantize_params(params["params"])}
-    engine = OtterGenerator(model, params, cfg)
-    stream_fn = make_otter_stream_fn(engine, tokenizer, cfg)
+    if args.continuous_batching:
+        from otter_tpu.generation.batching import ContinuousBatcher
+        batcher = ContinuousBatcher(model, params, cfg,
+                                    num_slots=args.num_slots,
+                                    cache_len=args.cache_len)
+        stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg)
+    else:
+        engine = OtterGenerator(model, params, cfg)
+        stream_fn = make_otter_stream_fn(engine, tokenizer, cfg)
 
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(

@@ -1,0 +1,151 @@
+"""Continuous-batching engine tests: per-row cache positions in the
+decoder, and the slot-pool scheduler producing exactly the single-stream
+engine's tokens under concurrent + staggered admission."""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from otter_tpu.config import GenerationConfig, OtterConfig
+from otter_tpu.generation.batching import ContinuousBatcher, sample_rows
+from otter_tpu.generation.engine import OtterGenerator
+from otter_tpu.models.otter import OtterVLM
+
+
+def _tiny(rng, b=1, s=10):
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg)
+    vision_x = jnp.asarray(rng.standard_normal((b, 1, 1, 3, 28, 28)),
+                           jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (b, s)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    params = model.init(jax.random.PRNGKey(0), vision_x, jnp.asarray(ids))
+    return cfg, model, params, vision_x, ids
+
+
+def _reference_tokens(model, params, cfg, vision_x, ids, max_new):
+    eng = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    out = eng.generate(vision_x, jnp.asarray(ids),
+                       gen=GenerationConfig(max_new_tokens=max_new))
+    p = ids.shape[1]
+    toks = []
+    for t in out[0, p:]:
+        if int(t) == cfg.eoc_token_id:
+            break
+        if int(t) == 0 and toks:
+            break
+        toks.append(int(t))
+    return toks
+
+
+def test_sample_rows_vectorized_controls():
+    logits = jnp.asarray([[0.0, 5.0, 1.0, 2.0],
+                          [0.0, 5.0, 1.0, 2.0]])
+    # row 0 greedy, row 1 sampled at tiny temperature -> both argmax
+    toks = sample_rows(jax.random.PRNGKey(0), logits,
+                       do_sample=jnp.asarray([False, True]),
+                       temperature=jnp.asarray([1.0, 0.01]),
+                       top_k=jnp.asarray([0, 2]),
+                       top_p=jnp.asarray([1.0, 0.5]))
+    assert list(np.asarray(toks)) == [1, 1]
+
+
+def test_concurrent_requests_match_single_stream(rng):
+    cfg, model, params, _, _ = _tiny(rng)
+    prompts = []
+    for s in (8, 10, 12):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, 0] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        prompts.append((vx, ids))
+
+    expected = [_reference_tokens(model, params, cfg, vx, ids, 5)
+                for vx, ids in prompts]
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=3,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32)
+    try:
+        streams = [batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=5))
+                   for vx, ids in prompts]
+        got = [list(s) for s in streams]
+    finally:
+        batcher.shutdown()
+    for g, e in zip(got, expected):
+        assert g[: len(e)] == e, (g, e)
+
+
+def test_staggered_admission_and_slot_reuse(rng):
+    """More requests than slots: later requests admit into freed slots
+    mid-flight and still match the single-stream engine."""
+    cfg, model, params, _, _ = _tiny(rng)
+    reqs = []
+    for s in (8, 9, 10, 11):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, 0] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        reqs.append((vx, ids))
+    expected = [_reference_tokens(model, params, cfg, vx, ids, 4)
+                for vx, ids in reqs]
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32)
+    try:
+        results = [None] * len(reqs)
+
+        def run(i):
+            vx, ids = reqs[i]
+            results[i] = list(batcher.submit(
+                vx, ids, GenerationConfig(max_new_tokens=4)))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for i, t in enumerate(threads):
+            t.start()
+            if i == 1:
+                time.sleep(0.3)   # stagger: last two arrive mid-decode
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        batcher.shutdown()
+    for g, e in zip(results, expected):
+        assert g is not None
+        assert g[: len(e)] == e, (g, e)
+
+
+def test_per_row_cache_pos_matches_scalar(rng):
+    """Vector cache_pos (same offset in every row) must reproduce the
+    scalar path exactly."""
+    from otter_tpu.models.decoder import init_cache
+    cfg, model, params, vx, ids = _tiny(rng, b=2, s=8)
+    b, s = ids.shape
+    L = 32
+    am = jnp.ones((b, s), jnp.int32)
+    pos = jnp.cumsum(am, -1) - 1
+    cache0 = init_cache(cfg.text, b, L, jnp.float32)
+    lg, cache, lat = model.apply(params, vx, jnp.asarray(ids),
+                                 attention_mask=am, positions=pos,
+                                 cache=cache0)
+    media = jnp.sum(jnp.asarray(ids) == cfg.media_token_id, -1)
+    tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)[:, None]
+    kv_valid = jnp.arange(L)[None, :] <= s
+    args = dict(vis_latents=lat, kv_valid=kv_valid,
+                positions=jnp.full((b, 1), s, jnp.int32),
+                media_counts=media)
+    lg_scalar, _, _ = model.apply(params, None, tok, cache=cache,
+                                  cache_pos=s, **args)
+    lg_vector, _, _ = model.apply(params, None, tok, cache=cache,
+                                  cache_pos=jnp.full((b,), s, jnp.int32),
+                                  **args)
+    np.testing.assert_allclose(np.asarray(lg_vector), np.asarray(lg_scalar),
+                               atol=1e-5)

@@ -75,3 +75,32 @@ def test_engine_beam_integration(rng):
     assert out.shape == (1, 14)
     # prompt is preserved
     np.testing.assert_array_equal(out[0, :10], ids[0])
+
+
+def test_stream_beam_final_matches_generate(rng):
+    """The last stream_beam_generate yield equals generate(num_beams=k)'s
+    continuation, and intermediate yields stream live previews."""
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.otter import OtterVLM
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg)
+    vision_x = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                           jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (1, 10)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    params = model.init(jax.random.PRNGKey(0), vision_x, jnp.asarray(ids))
+    eng = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+
+    gen = GenerationConfig(max_new_tokens=6, num_beams=2)
+    full = eng.generate(vision_x, ids, gen=gen)[0, 10:]
+    expected = []
+    for t in full:
+        if int(t) == cfg.eoc_token_id:
+            break
+        expected.append(int(t))
+
+    yields = list(eng.stream_beam_generate(vision_x, ids, gen=gen,
+                                           chunk=2))
+    assert len(yields) >= 2          # actually streamed in chunks
+    assert yields[-1] == expected, (yields[-1], expected)
