@@ -64,13 +64,15 @@ class OtterGenerator:
 
     # ── building blocks ──────────────────────────────────────────────
 
-    def _prefill(self, params, vision_x, lang_x, attention_mask, cache):
+    def _prefill(self, params, vision_x, lang_x, attention_mask, cache,
+                 vision_mask=None):
         """Returns (last_logits [B, V], cache, vis_latents, positions info)."""
         positions = jnp.clip(
             jnp.cumsum(attention_mask, axis=-1) - 1, 0, None).astype(jnp.int32)
+        kw = {} if vision_mask is None else {"vision_mask": vision_mask}
         logits, cache, vis_latents = self.model.apply(
             params, vision_x, lang_x, attention_mask=attention_mask,
-            positions=positions, cache=cache)
+            positions=positions, cache=cache, **kw)
         return logits[:, -1], cache, vis_latents
 
     def _step(self, params, tok, cache, cache_pos, kv_valid, positions,
@@ -317,35 +319,39 @@ class OtterGenerator:
 
     def stream_generate(self, vision_x, lang_x, attention_mask=None,
                         gen: Optional[GenerationConfig] = None,
-                        rng: Optional[jax.Array] = None) -> Iterator[int]:
+                        rng: Optional[jax.Array] = None,
+                        vision_mask=None) -> Iterator[int]:
         """Yields one token id at a time (greedy/sampled), stopping at eos.
         Python-driven loop over a jitted single step — used by the serving
-        worker for `\\0`-delimited JSON streaming."""
+        worker for `\\0`-delimited JSON streaming. Multi-request streaming
+        goes through generation.batching.ContinuousBatcher instead.
+        vision_mask [B,T,F]: real-frame mask for mixed still+video media."""
         gen = gen or GenerationConfig()
         eos = gen.eos_token_id if gen.eos_token_id is not None \
             else self.cfg.eoc_token_id
         lang_x = jnp.asarray(lang_x)
         b, p = lang_x.shape
-        assert b == 1, "streaming path serves one request at a time"
+        assert b == 1, "one request per stream; batch via ContinuousBatcher"
         if attention_mask is None:
             attention_mask = jnp.ones((b, p), jnp.int32)
         attention_mask = jnp.asarray(attention_mask)
         cache_len = _round_up(p + gen.max_new_tokens, 128)
 
-        pk = (b, p, cache_len)
+        pk = (b, p, cache_len, vision_mask is None)
         if pk not in self._prefill_fns:
-            def prefill(params, vision_x, lang_x, attention_mask):
+            def prefill(params, vision_x, lang_x, attention_mask,
+                        vision_mask):
                 cache = init_cache(self.cfg.text, b, cache_len,
                                    self.cache_dtype)
                 return self._prefill(params, vision_x, lang_x,
-                                     attention_mask, cache)
+                                     attention_mask, cache, vision_mask)
             self._prefill_fns[pk] = jax.jit(prefill)
         sk = (b, cache_len)
         if sk not in self._step_fns:
             self._step_fns[sk] = jax.jit(self._step)
 
         last_logits, cache, vis_latents = self._prefill_fns[pk](
-            self.params, vision_x, lang_x, attention_mask)
+            self.params, vision_x, lang_x, attention_mask, vision_mask)
         media_counts = jnp.sum(
             (lang_x == self.cfg.media_token_id).astype(jnp.int32), axis=-1)
         real_len = int(jnp.sum(attention_mask))

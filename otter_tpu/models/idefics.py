@@ -214,7 +214,8 @@ class IdeficsVLM(nn.Module):
     def __call__(self, vision_x, lang_x, attention_mask=None,
                  attend_previous: bool = True, vis_latents=None,
                  cache=None, cache_pos=None, kv_valid=None, positions=None,
-                 media_counts=None, image_attention_mask=None):
+                 media_counts=None, image_attention_mask=None,
+                 vision_mask=None):
         c = self.cfg
         t = c.text
 

@@ -43,23 +43,25 @@ class OtterVLM(nn.Module):
         self.lang_encoder = Decoder(c.text, otter_cfg=c, dtype=self.dtype,
                                     remat=self.remat)
 
-    def encode_vision(self, vision_x):
+    def encode_vision(self, vision_x, vision_mask=None):
         """[B, T, F, C, H, W] -> latents [B, T, n, D]
         (reference `_encode_vision_x`, modeling_otter.py:975-997: CLIP,
-        drop CLS, per-(media,frame) tokens through the perceiver)."""
+        drop CLS, per-(media,frame) tokens through the perceiver).
+        vision_mask: optional [B, T, F] bool marking real frames (padded
+        frames in mixed still+video requests attend nothing)."""
         b, t, f = vision_x.shape[:3]
         flat = vision_x.reshape((b * t * f,) + vision_x.shape[3:])
         feats = self.vision_encoder(flat)[:, 1:, :]       # drop CLS
         v, d = feats.shape[1], feats.shape[2]
         feats = feats.reshape(b, t, f, v, d)
-        return self.perceiver(feats)
+        return self.perceiver(feats, vision_mask)
 
     def __call__(self, vision_x, lang_x, attention_mask=None,
                  attend_previous: bool = True,
                  vis_latents=None,
                  cache=None, cache_pos=None, kv_valid=None,
                  positions=None,
-                 media_counts=None):
+                 media_counts=None, vision_mask=None):
         """Full forward. If `vis_latents` is given, `vision_x` is ignored
         (the `use_cached_vision_x` behavior, modeling_otter.py:925-936).
 
@@ -69,7 +71,7 @@ class OtterVLM(nn.Module):
         """
         c = self.cfg
         if vis_latents is None:
-            vis_latents = self.encode_vision(vision_x)
+            vis_latents = self.encode_vision(vision_x, vision_mask)
         t_img = vis_latents.shape[1]
         n_lat = vis_latents.shape[2]
 

@@ -30,29 +30,46 @@ SERVER_ERROR_MSG = ("**NETWORK ERROR DUE TO HIGH TRAFFIC. PLEASE REGENERATE "
                     "OR REFRESH THIS PAGE.**")
 
 
-def decode_images_to_vision_x(images, patch_size: int = 224,
-                              mean=None, std=None) -> Optional[np.ndarray]:
-    """base64 list -> [1, T, 1, C, H, W]; list-of-lists (video) ->
-    [1, 1, F, C, H, W] (model_worker.py:181-206)."""
+def decode_media_to_vision_x(images, patch_size: int = 224,
+                             mean=None, std=None):
+    """Mixed media -> (vision_x [1, T, F, C, H, W], frame_mask [1, T, F]).
+
+    Each list element is a base64 still OR a list of base64 frames (one
+    video). Stills stack along T with F=1; videos contribute all their
+    frames along F. Mixing works: shorter items are zero-padded along F
+    and masked out of the perceiver attention. Strictly more capable than
+    the reference worker, which keeps only the LAST video
+    (model_worker.py:184-186 `images = images[-1]`)."""
     from otter_tpu.data.mimicit import preprocess_image
     from otter_tpu.data import templates
     from PIL import Image
     if not images:
-        return None
-    is_video = isinstance(images[0], list)
-    if is_video:
-        images = images[-1]
+        return None, None
     mean = mean or templates.FLAMINGO_MEAN
     std = std or templates.FLAMINGO_STD
-    arrs = []
-    for b64 in images:
+
+    def dec(b64):
         img = Image.open(io.BytesIO(
             base64.urlsafe_b64decode(b64))).convert("RGB")
-        arrs.append(preprocess_image(img, patch_size, mean, std))
-    stack = np.stack(arrs, 0)            # [N, C, H, W]
-    if is_video:
-        return stack[None, None]         # [1, 1, F, C, H, W]
-    return stack[None, :, None]          # [1, T, 1, C, H, W]
+        return preprocess_image(img, patch_size, mean, std)
+
+    items = [[dec(f) for f in (el if isinstance(el, list) else [el])]
+             for el in images]
+    t = len(items)
+    f = max(len(it) for it in items)
+    vx = np.zeros((1, t, f) + items[0][0].shape, np.float32)
+    mask = np.zeros((1, t, f), bool)
+    for i, frames in enumerate(items):
+        vx[0, i, : len(frames)] = np.stack(frames, 0)
+        mask[0, i, : len(frames)] = True
+    return vx, mask
+
+
+def decode_images_to_vision_x(images, patch_size: int = 224,
+                              mean=None, std=None) -> Optional[np.ndarray]:
+    """Back-compat wrapper returning only vision_x."""
+    vx, _ = decode_media_to_vision_x(images, patch_size, mean, std)
+    return vx
 
 
 class ModelWorker:
@@ -188,11 +205,14 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
 
     def stream_fn(params: dict) -> Iterator[str]:
         prompt = params["prompt"]
-        vision_x = decode_images_to_vision_x(params.get("images"),
-                                             patch_size=patch_size)
+        vision_x, frame_mask = decode_media_to_vision_x(
+            params.get("images"), patch_size=patch_size)
         if vision_x is None:
             vision_x = np.zeros((1, 1, 1, 3, patch_size, patch_size),
                                 np.float32)
+            frame_mask = None
+        if frame_mask is not None and bool(frame_mask.all()):
+            frame_mask = None   # no padding -> skip the masked variant
         gen = _parse_gen_kwargs(params.get("generation_kwargs", {}))
         enc = tokenizer(prompt, return_tensors="np")
         lang_x = enc["input_ids"].astype(np.int32)
@@ -203,9 +223,10 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
                     jnp.asarray(vision_x), lang_x, gen=gen):
                 yield tokenizer.decode(toks, skip_special_tokens=True)
             return
+        vm = None if frame_mask is None else jnp.asarray(frame_mask)
         text, pending = "", []
         for i, tok in enumerate(engine.stream_generate(
-                jnp.asarray(vision_x), lang_x, gen=gen)):
+                jnp.asarray(vision_x), lang_x, gen=gen, vision_mask=vm)):
             pending.append(tok)
             if (i + 1) % stream_interval == 0:
                 text += tokenizer.decode(pending,

@@ -128,3 +128,59 @@ def test_otter_cached_vision(rng):
     logits2, _, _ = m.apply(params, None, ids, vis_latents=latents)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
                                atol=1e-6)
+
+
+def test_perceiver_frame_mask_matches_unpadded(rng):
+    """Mixed still+video media: zero-padded frames excluded via frame_mask
+    give the same latents as encoding each item at its natural length."""
+    from otter_tpu.config import PerceiverConfig
+    from otter_tpu.models.perceiver import PerceiverResampler
+
+    cfg = PerceiverConfig(dim=32, depth=2, dim_head=8, heads=4,
+                          num_latents=4, max_num_frames=8)
+    model = PerceiverResampler(cfg)
+    v, d = 5, 32
+    still = rng.standard_normal((1, 1, 1, v, d)).astype(np.float32)
+    video = rng.standard_normal((1, 1, 3, v, d)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(video))
+
+    lat_still = model.apply(params, jnp.asarray(still))
+    lat_video = model.apply(params, jnp.asarray(video))
+
+    # padded batch: T=2 items, F=3 with the still masked to 1 frame
+    padded = np.zeros((1, 2, 3, v, d), np.float32)
+    padded[0, 0, :1] = still[0, 0]
+    padded[0, 1] = video[0, 0]
+    mask = np.asarray([[[True, False, False], [True, True, True]]])
+    lat = model.apply(params, jnp.asarray(padded), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(lat[0, 0]),
+                               np.asarray(lat_still[0, 0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lat[0, 1]),
+                               np.asarray(lat_video[0, 0]), atol=1e-5)
+
+
+def test_decode_media_mixed(rng):
+    """Worker media decoding: stills + a video in ONE request (the
+    reference drops everything but the last video)."""
+    import base64
+    import io as _io
+    from PIL import Image
+    from otter_tpu.serve.worker import decode_media_to_vision_x
+
+    def b64(seed):
+        img = Image.fromarray(
+            (np.random.default_rng(seed).random((16, 16, 3)) * 255)
+            .astype(np.uint8))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return base64.urlsafe_b64encode(buf.getvalue()).decode()
+
+    media = [b64(0), [b64(1), b64(2), b64(3)], b64(4)]
+    vx, mask = decode_media_to_vision_x(media, patch_size=16)
+    assert vx.shape == (1, 3, 3, 3, 16, 16)
+    np.testing.assert_array_equal(
+        mask[0], [[True, False, False],
+                  [True, True, True],
+                  [True, False, False]])
+    # padded frames are zeros
+    assert float(np.abs(vx[0, 0, 1:]).max()) == 0.0
