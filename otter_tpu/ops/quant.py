@@ -81,6 +81,110 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
     return out[:m]
 
 
+def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
+             w2q: jnp.ndarray, s2: jnp.ndarray, *, act: str = "gelu",
+             block_h: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """Fused quantized MLP: act((x @ w1) * s1) @ w2 * s2 in ONE pallas_call.
+
+    x [M, K] bf16; w1q [K, H] int8, s1 [H]; w2q [H, N] int8, s2 [N].
+    The grid walks H blocks: each step reads one w1 column-block and one
+    w2 row-block (1 byte/weight off HBM, dequant in-register), computes the
+    hidden activation for that block and accumulates its contribution to
+    the output — both matmuls' weights stream through a single kernel, so
+    the decode step pays one launch for 8d^2 bytes instead of two (the
+    per-launch overhead is what made the single-matmul Pallas routing lose
+    end-to-end, commit b04055b / ROADMAP #2).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    m, k = x.shape
+    k1, h = w1q.shape
+    h2, n = w2q.shape
+    assert k == k1 and h == h2 and s1.shape == (h,) and s2.shape == (n,)
+    bh = min(block_h, h)
+    while h % bh:
+        bh //= 2
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    s1_2d = s1.reshape(1, h).astype(jnp.float32)
+    s2_2d = s2.reshape(1, n).astype(jnp.float32)
+    def _erf(z):
+        # Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7, far below bf16
+        # resolution): Pallas TPU has no erf/erfc lowering
+        sign = jnp.sign(z)
+        z = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * z)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        return sign * (1.0 - poly * jnp.exp(-z * z))
+
+    def _gelu(z):
+        # exact-erf form (torch nn.GELU parity) via the approximation above
+        return z * 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+
+    act_fn = {"gelu": _gelu, "relu": jax.nn.relu,
+              "silu": jax.nn.silu}[act]
+
+    def kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, o_ref, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        w1 = w1_ref[...].astype(x_ref.dtype)     # in-register dequant
+        hblk = lax.dot_general(
+            x_ref[...], w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hblk = act_fn(hblk * s1_ref[...])
+        w2 = w2_ref[...].astype(x_ref.dtype)
+        acc[...] += lax.dot_general(
+            hblk.astype(x_ref.dtype), w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            o_ref[...] = (acc[...] * s2_ref[...]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(h // bh,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bh), lambda j: (0, j)),
+            pl.BlockSpec((1, bh), lambda j: (0, j)),
+            pl.BlockSpec((bh, n), lambda j: (j, 0)),
+            pl.BlockSpec((1, n), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, n), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, w1q, s1_2d, w2q, s2_2d)
+    return out[:m]
+
+
+class Int8Kernel(nn.Module):
+    """Param holder producing the exact (kernel_q, scale_q) tree of an
+    Int8Dense submodule — lets a fused kernel own several projections'
+    weights without changing checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (in_features, self.features), jnp.int8)
+        sq = self.param("scale_q", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        return kq, sq
+
+
 class Int8Dense(nn.Module):
     """Drop-in Dense with int8 kernel + per-channel scale params
     (kernel_q [in, out] int8, scale [out] f32)."""
@@ -97,11 +201,13 @@ class Int8Dense(nn.Module):
         scale = self.param("scale_q", nn.initializers.ones,
                            (self.features,), jnp.float32)
         # scale on the OUTPUT side: the int8->bf16 convert fuses into the
-        # dot's operand read (no dequantized weight materialization). The
-        # standalone Pallas int8_matmul above reads weights faster in
-        # isolation (765 vs 653 GB/s) but loses in the full decode graph
-        # (128 launches/step vs XLA's fused pipeline: 447 vs 461 tok/s on
-        # the 7B) — revisit with a fused multi-projection kernel.
+        # XLA dot's operand read (no dequantized weight materialization).
+        # Measured r2: routing single matmuls through the Pallas
+        # int8_matmul loses end-to-end even with the MLP pair already
+        # fused (457 vs 485 tok/s on the 7B) — XLA pipelines its own dots
+        # across the layer better than it schedules around pallas_call.
+        # Only the two-matmul MLP fusion (int8_mlp) wins: one launch for
+        # 8d^2 bytes (485 vs 461 tok/s).
         y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
         y = y * scale.astype(self.dtype)[None, :]
         if self.use_bias:
