@@ -435,6 +435,7 @@ class Decoder(nn.Module):
                     dim_head=oc.xattn_dim_head, heads=oc.xattn_heads,
                     ff_mult=oc.xattn_ff_mult,
                     only_attend_immediate_media=oc.only_attend_immediate_media,
+                    quant=c.quant,
                     dtype=self.dtype, name=f"xattn_{i}")(
                         x, vis_latents, xattn_q_ids, xattn_kv_ids,
                         xattn_out_keep)

@@ -68,9 +68,14 @@ class GatedCrossAttentionBlock(nn.Module):
     ff_mult: int = 4
     only_attend_immediate_media: bool = True
     dtype: jnp.dtype = jnp.float32
+    # int8 weight-only quantization of the FF pair (the per-block 4d^2
+    # weight read dominates the xattn decode cost; measured 4.3 ms/step
+    # inline in bf16 on the MPT-7B vs 1.4 ms ideal int8)
+    quant: str = None
 
     @nn.compact
     def __call__(self, x, media, q_ids=None, kv_ids=None, out_keep=None):
+        import jax
         attn_gate = self.param("attn_gate", nn.initializers.zeros, (1,),
                                jnp.float32)
         ff_gate = self.param("ff_gate", nn.initializers.zeros, (1,),
@@ -83,9 +88,31 @@ class GatedCrossAttentionBlock(nn.Module):
 
         residual = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
-        y = nn.Dense(self.dim * self.ff_mult, use_bias=False,
-                     dtype=self.dtype, name="ff_up")(y)
-        y = gelu(y)
-        y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                     name="ff_down")(y)
+        tokens = 1
+        for s in y.shape[:-1]:
+            tokens *= s
+        if self.quant == "int8":
+            from otter_tpu.ops.quant import (Int8Dense, Int8Kernel,
+                                             int8_mlp)
+            if tokens <= 32:   # decode: one fused launch, 1 byte/weight
+                kq1, s1 = Int8Kernel(self.dim * self.ff_mult,
+                                     name="ff_up")(self.dim)
+                kq2, s2 = Int8Kernel(self.dim, name="ff_down")(
+                    self.dim * self.ff_mult)
+                y = int8_mlp(y.reshape(tokens, self.dim).astype(self.dtype),
+                             kq1, s1, kq2, s2, act="gelu",
+                             interpret=jax.default_backend() != "tpu")
+                y = y.reshape(x.shape[:-1] + (self.dim,))
+            else:              # prefill/training: XLA convert-then-dot
+                y = Int8Dense(self.dim * self.ff_mult, use_bias=False,
+                              dtype=self.dtype, name="ff_up")(y)
+                y = gelu(y)
+                y = Int8Dense(self.dim, use_bias=False, dtype=self.dtype,
+                              name="ff_down")(y)
+        else:
+            y = nn.Dense(self.dim * self.ff_mult, use_bias=False,
+                         dtype=self.dtype, name="ff_up")(y)
+            y = gelu(y)
+            y = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name="ff_down")(y)
         return y * jnp.tanh(ff_gate).astype(x.dtype) + residual

@@ -234,7 +234,8 @@ def quantize_kernel(w: np.ndarray):
 
 
 DEFAULT_QUANT_PATTERNS = re.compile(
-    r"(.*/)?layers_\d+/(attn|ffn)/[^/]+/kernel$")
+    r"(.*/)?(layers_\d+/(attn|ffn)/[^/]+"
+    r"|xattn_\d+/(ff_up|ff_down))/kernel$")
 
 
 def quantize_params(params: Any,
