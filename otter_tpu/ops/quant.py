@@ -163,8 +163,7 @@ def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((m_pad, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(x, w1q, s1_2d, w2q, s2_2d)
     return out[:m]
