@@ -86,12 +86,16 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions=None, attn_ids=None, bias=None,
-                 cache=None, kv_valid=None, cache_pos=None):
+                 cache=None, kv_valid=None, cache_pos=None,
+                 project_out: bool = True):
         """x: [B, S, D]. Prefill (cache=None or writing from 0) uses the
         causal Pallas kernel; decode (cache with q_len small) uses dense
         attention against the cache.
 
-        Returns (out [B,S,D], new_cache_entry or None).
+        Returns (out [B,S,D], new_cache_entry or None); with
+        project_out=False returns (raw [B,S,h*d], (out_kernel_q, out_scale),
+        new_cache_entry) so the caller can run the fused layer-tail kernel
+        (out-proj params still live at attn/out_proj, checkpoint-compatible).
         """
         from otter_tpu.ops.lora import maybe_lora_dense
         c = self.cfg
@@ -208,6 +212,10 @@ class SelfAttention(nn.Module):
                 new_cache = {"k": ck, "v": cv}
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        if not project_out:
+            from otter_tpu.ops.quant import Int8Kernel
+            oq, osc = Int8Kernel(d_model, name="out_proj")(h * d)
+            return out, (oq, osc), new_cache
         out = dense(d_model, "out_proj")(out)
         return out, new_cache
 
@@ -303,9 +311,34 @@ class MLP(nn.Module):
         return dense(c.hidden_size, "down_proj")(act(y))
 
 
+class _NormScaleHolder(nn.Module):
+    """Declares a norm's scale param (same tree as LPLayerNormModule with
+    use_bias=False) for the fused layer-tail kernel."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        return self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+
+
+class _FFNQHolder(nn.Module):
+    """Declares the quantized MLP params (same tree as MLP's Int8Kernel
+    holders) for the fused layer-tail kernel."""
+
+    mlp_dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        from otter_tpu.ops.quant import Int8Kernel
+        kq1, s1 = Int8Kernel(self.mlp_dim, name="up_proj")(self.hidden)
+        kq2, s2 = Int8Kernel(self.hidden, name="down_proj")(self.mlp_dim)
+        return kq1, s1, kq2, s2
+
+
 class DecoderLayer(nn.Module):
     cfg: TextConfig
     dtype: jnp.dtype = jnp.float32
+    fused_tail: bool = False
 
     @nn.compact
     def __call__(self, x, *, positions=None, attn_ids=None, bias=None,
@@ -322,6 +355,37 @@ class DecoderLayer(nn.Module):
             return x + attn + mlp, new_cache
 
         a = _norm(c, self.dtype, "norm_1")(x)
+        tokens = 1
+        for sz in x.shape[:-1]:
+            tokens *= sz
+        # fused decode layer tail: out-proj + residual + norm_2 + MLP in
+        # ONE pallas_call (9*d^2 int8 bytes per launch; MPT-style tail).
+        # MEASURED SLOWER than tail-unfused on the 7B (555 vs 601 tok/s
+        # steady-state): the d^2 resident out-proj block forces a 100MB
+        # scoped-vmem budget which degrades the stream double-buffering.
+        # Kept behind fused_tail=True for future revisits; default OFF.
+        if (self.fused_tail
+                and c.quant == "int8" and c.act == "gelu" and c.no_bias
+                and c.norm_type == "low_precision_layernorm"
+                and tokens <= 32 and cache is not None
+                and cache_pos is not None):
+            from otter_tpu.ops.quant import Int8Kernel, int8_attn_tail
+            raw, (oq, osc), new_cache = SelfAttention(
+                c, self.dtype, name="attn")(
+                a, positions=positions, attn_ids=attn_ids, bias=bias,
+                cache=cache, kv_valid=kv_valid, cache_pos=cache_pos,
+                project_out=False)
+            ns = _NormScaleHolder(name="norm_2")(c.hidden_size)
+            kq1, s1, kq2, s2 = _FFNQHolder(c.mlp_dim, c.hidden_size,
+                                           name="ffn")()
+            y = int8_attn_tail(
+                raw.reshape(tokens, -1).astype(self.dtype),
+                x.reshape(tokens, -1).astype(self.dtype),
+                oq, osc, ns, kq1, s1, kq2, s2,
+                eps=c.norm_eps, act=c.act,
+                interpret=jax.default_backend() != "tpu")
+            return y.reshape(x.shape), new_cache
+
         attn, new_cache = SelfAttention(c, self.dtype, name="attn")(
             a, positions=positions, attn_ids=attn_ids, bias=bias,
             cache=cache, kv_valid=kv_valid, cache_pos=cache_pos)

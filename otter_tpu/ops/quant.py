@@ -169,6 +169,127 @@ def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
     return out[:m]
 
 
+def int8_attn_tail(attn_raw: jnp.ndarray, resid: jnp.ndarray,
+                   woq: jnp.ndarray, so: jnp.ndarray,
+                   norm_scale: jnp.ndarray,
+                   w1q: jnp.ndarray, s1: jnp.ndarray,
+                   w2q: jnp.ndarray, s2: jnp.ndarray, *,
+                   eps: float = 1e-5, act: str = "gelu",
+                   block_h: int = 512,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused decode layer tail in ONE pallas_call:
+
+        y    = resid + (attn_raw @ woq) * so          (attention out-proj)
+        n    = LPLayerNorm(y) * norm_scale            (norm_2, f32 stats)
+        out  = y + act((n @ w1q) * s1) @ w2q * s2     (MLP)
+
+    attn_raw [M, hd]; resid [M, D]; woq [hd, D] int8 (resident block — read
+    once); w1q [D, H], w2q [H, D] int8 streamed in H-blocks. One launch per
+    layer for 9*d^2 int8 bytes instead of an XLA dot (653 GB/s) + a
+    separate MLP kernel. MPT-style tail only (pre-norm, no-bias LN, GELU).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    m, hd = attn_raw.shape
+    d = resid.shape[1]
+    h = w1q.shape[1]
+    assert woq.shape == (hd, d) and w1q.shape == (d, h)
+    assert w2q.shape == (h, d)
+    bh = min(block_h, h)
+    while h % bh:
+        bh //= 2
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        attn_raw = jnp.pad(attn_raw, ((0, m_pad - m), (0, 0)))
+        resid = jnp.pad(resid, ((0, m_pad - m), (0, 0)))
+    so2 = so.reshape(1, d).astype(jnp.float32)
+    s1_2d = s1.reshape(1, h).astype(jnp.float32)
+    s2_2d = s2.reshape(1, d).astype(jnp.float32)
+    ns2 = norm_scale.reshape(1, d).astype(jnp.float32)
+
+    def _erf(z):
+        sign = jnp.sign(z)
+        z = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * z)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        return sign * (1.0 - poly * jnp.exp(-z * z))
+
+    def _gelu(z):
+        return z * 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+
+    act_fn = {"gelu": _gelu, "relu": jax.nn.relu,
+              "silu": jax.nn.silu}[act]
+
+    def kernel(a_ref, r_ref, wo_ref, so_ref, ns_ref, w1_ref, s1_ref,
+               w2_ref, s2_ref, o_ref, base, normed, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            wo = wo_ref[...].astype(a_ref.dtype)
+            out = lax.dot_general(
+                a_ref[...], wo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * so_ref[...]
+            # round to the activation dtype first (the unfused chain adds
+            # residual + out in bf16 before the norm)
+            y = (r_ref[...].astype(jnp.float32)
+                 + out.astype(a_ref.dtype).astype(jnp.float32))
+            y = y.astype(a_ref.dtype)
+            base[...] = y
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+            nrm = (yf - mean) * lax.rsqrt(var + eps) * ns_ref[...]
+            normed[...] = nrm.astype(a_ref.dtype)
+            acc[...] = jnp.zeros_like(acc)
+
+        w1 = w1_ref[...].astype(a_ref.dtype)
+        hblk = lax.dot_general(
+            normed[...], w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hblk = act_fn(hblk * s1_ref[...])
+        w2 = w2_ref[...].astype(a_ref.dtype)
+        acc[...] += lax.dot_general(
+            hblk.astype(a_ref.dtype), w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            mlp = (acc[...] * s2_ref[...]).astype(o_ref.dtype)
+            o_ref[...] = base[...].astype(o_ref.dtype) + mlp
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(h // bh,),
+        in_specs=[
+            pl.BlockSpec((m_pad, hd), lambda j: (0, 0)),
+            pl.BlockSpec((m_pad, d), lambda j: (0, 0)),
+            pl.BlockSpec((hd, d), lambda j: (0, 0)),
+            pl.BlockSpec((1, d), lambda j: (0, 0)),
+            pl.BlockSpec((1, d), lambda j: (0, 0)),
+            pl.BlockSpec((d, bh), lambda j: (0, j)),
+            pl.BlockSpec((1, bh), lambda j: (0, j)),
+            pl.BlockSpec((bh, d), lambda j: (j, 0)),
+            pl.BlockSpec((1, d), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, d), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), attn_raw.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, d), attn_raw.dtype),
+                        pltpu.VMEM((m_pad, d), attn_raw.dtype),
+                        pltpu.VMEM((m_pad, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the resident out-proj block alone is d^2 int8 (16.8MB at
+            # d=4096) — needs more than the 16MB default scoped vmem
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(attn_raw, resid, woq, so2, ns2, w1q, s1_2d, w2q, s2_2d)
+    return out[:m]
+
+
 class Int8Kernel(nn.Module):
     """Param holder producing the exact (kernel_q, scale_q) tree of an
     Int8Dense submodule — lets a fused kernel own several projections'

@@ -122,3 +122,56 @@ def test_mlp_fused_decode_path_matches_xla_path(rng):
     np.testing.assert_allclose(np.asarray(y_small[0]),
                                np.asarray(y_big[0, :8]),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_layer_tail_matches_unfused(rng):
+    """The fused out-proj+norm+MLP decode tail must agree with the unfused
+    chain on the same params (decode shape vs the cacheless path)."""
+    from otter_tpu.config import TextConfig
+    from otter_tpu.models.decoder import DecoderLayer, init_cache
+    from otter_tpu.ops.quant import quantize_kernel
+    from flax import traverse_util
+
+    cfg = TextConfig(arch="mpt", vocab_size=64, hidden_size=64,
+                     intermediate_size=128, num_hidden_layers=1,
+                     num_attention_heads=4, max_seq_len=32, act="gelu",
+                     no_bias=True, quant="int8", pos="alibi")
+    layer = DecoderLayer(cfg, dtype=jnp.float32, fused_tail=True)
+    b, L = 2, 16
+    x1 = jnp.asarray(rng.standard_normal((b, 1, 64)), jnp.float32)
+    cache = init_cache(cfg, b, L, jnp.float32)["layers_0"]
+    kv_valid = jnp.asarray(np.arange(L)[None, :] <= 4).repeat(b, 0)
+    pos = jnp.full((b, 1), 4, jnp.int32)
+    kwargs = dict(positions=pos, cache=cache, kv_valid=kv_valid, cache_pos=4)
+    params = layer.init(jax.random.PRNGKey(0), x1, **kwargs)
+    flat = traverse_util.flatten_dict(params["params"], sep="/")
+    r2 = np.random.default_rng(1)
+    for k in list(flat):
+        if k.endswith("kernel_q"):
+            w = r2.standard_normal(flat[k].shape).astype(np.float32) * 0.1
+            q, s = quantize_kernel(w)
+            flat[k] = jnp.asarray(q)
+            flat[k[:-len("kernel_q")] + "scale_q"] = jnp.asarray(s)
+        elif k.endswith("/kernel"):
+            flat[k] = jnp.asarray(
+                r2.standard_normal(flat[k].shape).astype(np.float32) * 0.1)
+        elif k.endswith("scale") and "scale_q" not in k:
+            flat[k] = jnp.asarray(
+                1.0 + 0.1 * r2.standard_normal(flat[k].shape)
+                .astype(np.float32))
+    params = {"params": traverse_util.unflatten_dict(flat, sep="/")}
+
+    y_fused, _ = layer.apply(params, x1, **kwargs)        # decode: fused
+
+    # unfused reference: same decode call with tokens > 32 is awkward at
+    # q_len 1, so replicate the batch to exceed the token threshold
+    x_big = jnp.concatenate([x1] * 17, axis=0)            # 34 tokens
+    cache_big = init_cache(cfg, 34, L, jnp.float32)["layers_0"]
+    kwargs_big = dict(positions=jnp.full((34, 1), 4, jnp.int32),
+                      cache=cache_big,
+                      kv_valid=jnp.asarray(
+                          np.arange(L)[None, :] <= 4).repeat(34, 0),
+                      cache_pos=4)
+    y_big, _ = layer.apply(params, x_big, **kwargs_big)
+    np.testing.assert_allclose(np.asarray(y_fused[0]), np.asarray(y_big[0]),
+                               rtol=2e-2, atol=2e-2)
