@@ -114,12 +114,13 @@ def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
 
     @pl.when(should_run)
     def _body():
+        # base-2 softmax: q arrives pre-scaled by sm_scale*log2(e) and the
+        # bias pre-scaled by log2(e) (one VPU pass + one transcendental
+        # saved per tile vs scale-multiply + natural exp)
         q = q_ref[0, 0]                       # [bq, d]
         k = k_ref[0, 0]                       # [bk, d]
         s = lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [bq, bk]
-        if sm_scale != 1.0:
-            s *= sm_scale
         if has_bias:
             b = bias_ref[0, 0]                # [bq|1, bk]
             s += b.astype(jnp.float32)
@@ -144,8 +145,8 @@ def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
         m_curr = jnp.max(s, axis=1, keepdims=True)       # [bq, 1]
         m_next = jnp.maximum(m_prev, lax.broadcast_in_dim(
             m_curr, (block_q, NUM_LANES), (0, 1)))
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - lax.broadcast_in_dim(
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - lax.broadcast_in_dim(
             m_next[:, :1], (block_q, block_k), (0, 1)))
         l_curr = jnp.sum(p, axis=1, keepdims=True)       # [bq, 1]
         l_next = alpha * l_prev + lax.broadcast_in_dim(
@@ -173,7 +174,11 @@ def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * lax.broadcast_in_dim(
             l_inv[:, :1], (block_q, d), (0, 1))).astype(o_ref.dtype)
-        lse = m_scr[...] + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        # internals are base-2; the stored LSE stays in natural-log units
+        # (the backward kernels recompute with natural exp):
+        # lse = ln2 * (m2 + log2 l)
+        lse = 0.6931471805599453 * (
+            m_scr[...] + jnp.log2(jnp.where(l == 0.0, 1.0, l)))
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
@@ -181,6 +186,12 @@ def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
          block_sizes: BlockSizes, mask_value, interpret):
     batch, heads, s_q, d = q.shape
     s_k = k.shape[2]
+    # base-2 softmax: fold sm_scale*log2(e) into q and log2(e) into the
+    # bias so the kernel skips the scale pass and uses exp2
+    LOG2E = 1.4426950408889634
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    if bias is not None:
+        bias = bias * jnp.asarray(LOG2E, bias.dtype)
     bq = _fit_block(block_sizes.block_q, s_q)
     bk = _fit_block(block_sizes.block_k, s_k)
     num_q, num_kv = s_q // bq, s_k // bk
@@ -190,10 +201,22 @@ def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
 
     grid = (batch, heads, num_q, num_kv)
 
+    if causal:
+        # skipped upper-triangle tiles clamp their kv block index to the
+        # last VALID block of the row: consecutive identical block indices
+        # make Mosaic elide the DMA, so dead tiles cost neither compute
+        # (pl.when) nor bandwidth. Without this the causal kernel ran at
+        # the non-causal wall time (measured 2.12 vs 2.09 ms at s=2048).
+        def kv_j(i, j):
+            return jnp.minimum(j, ((i + 1) * bq - 1) // bk)
+    else:
+        def kv_j(i, j):
+            return j
+
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, kv_j(i, j), 0)),
+        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, kv_j(i, j), 0)),
     ]
     args = [q, k, v]
     if has_bias:
@@ -202,14 +225,15 @@ def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
         in_specs.append(pl.BlockSpec(
             (1, 1, bq_bias, bk),
             lambda b, h, i, j, bb=bb, bh=bh, bc=bcast_bias_q: (
-                b if bb > 1 else 0, h if bh > 1 else 0, 0 if bc else i, j)))
+                b if bb > 1 else 0, h if bh > 1 else 0, 0 if bc else i,
+                kv_j(i, j))))
         args.append(bias)
     if has_ids:
         # q_ids: [B, S_q, NUM_LANES] lane-replicated; kv_ids: [B, NUM_SUBLANES, S_k]
         in_specs.append(pl.BlockSpec((1, bq, NUM_LANES),
                                      lambda b, h, i, j: (b, i, 0)))
         in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk),
-                                     lambda b, h, i, j: (b, 0, j)))
+                                     lambda b, h, i, j: (b, 0, kv_j(i, j))))
         args.extend([q_ids, kv_ids])
 
     out_shape = [
