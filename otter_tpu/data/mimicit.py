@@ -129,6 +129,7 @@ class MimicitDataset:
                  with_task_description: bool = False,
                  mean=templates.FLAMINGO_MEAN,
                  std=templates.FLAMINGO_STD,
+                 device_preprocess: bool = False,
                  seed: int = 0):
         assert task_group in TASK_GROUPS, task_group
         self.tokenizer = tokenizer
@@ -140,6 +141,10 @@ class MimicitDataset:
         self.keep_symbols = keep_symbols
         self.with_task_description = with_task_description
         self.mean, self.std = mean, std
+        # fused host+device preprocessing split: host decodes + resizes in
+        # uint8 only; /255 + mean/std + CHW transpose run on the TPU
+        # (models consume uint8 [T,F,H,W,3] via ops/image_prep.normalize_u8)
+        self.device_preprocess = device_preprocess
         self.seed = seed
         self.epoch = 0
 
@@ -213,6 +218,14 @@ class MimicitDataset:
         return stack[:, None]                      # [T, 1, 3, H, W]
 
     def _decode_batch(self, b64_list: Sequence[str]) -> np.ndarray:
+        if self.device_preprocess:
+            # host half only: decode + uint8 bicubic resize -> [N, H, W, 3]
+            out = np.stack([
+                np.asarray(decode_base64_image(s).resize(
+                    (self.patch_image_size, self.patch_image_size),
+                    Image.BICUBIC), np.uint8)
+                for s in b64_list], 0)
+            return out
         try:
             from otter_tpu import native
             if native.available():
@@ -246,9 +259,11 @@ class MimicitDataset:
             text = desc + "\n" + text
 
         if self.task_group == "TEXT_ONLY":
-            patch_images = np.zeros(
-                (1, 1, 3, self.patch_image_size, self.patch_image_size),
-                np.float32)
+            s_px = self.patch_image_size
+            patch_images = (np.zeros((1, 1, s_px, s_px, 3), np.uint8)
+                            if self.device_preprocess
+                            else np.zeros((1, 1, 3, s_px, s_px),
+                                          np.float32))
         else:
             patch_images = self._load_patch_images(
                 image_ids, is_video=(self.task_group == "VIDEO_TEXT"))
@@ -262,7 +277,8 @@ class MimicitDataset:
             "id": cur_id,
             "input_ids": np.asarray(ids, np.int32),
             "attention_mask": np.asarray(mask, np.int32),
-            "patch_images": patch_images.astype(np.float32),
+            "patch_images": (patch_images if self.device_preprocess
+                             else patch_images.astype(np.float32)),
             "task_group": self.task_group,
             "full_text": text,
         }
@@ -287,8 +303,9 @@ class MimicitDataset:
 
         t_max = max(s["patch_images"].shape[0] for s in samples)
         f_max = max(s["patch_images"].shape[1] for s in samples)
-        c, hh, ww = samples[0]["patch_images"].shape[2:]
-        images = np.zeros((b, t_max, f_max, c, hh, ww), np.float32)
+        img_dtype = samples[0]["patch_images"].dtype  # u8 = device prep
+        images = np.zeros((b, t_max, f_max)
+                          + samples[0]["patch_images"].shape[2:], img_dtype)
         for i, s in enumerate(samples):
             t, f = s["patch_images"].shape[:2]
             images[i, :t, :f] = s["patch_images"]

@@ -48,7 +48,14 @@ class OtterVLM(nn.Module):
         (reference `_encode_vision_x`, modeling_otter.py:975-997: CLIP,
         drop CLS, per-(media,frame) tokens through the perceiver).
         vision_mask: optional [B, T, F] bool marking real frames (padded
-        frames in mixed still+video requests attend nothing)."""
+        frames in mixed still+video requests attend nothing).
+
+        uint8 input ([B,T,F,H,W,3], host-decoded/resized only) is
+        normalized on device (ops/image_prep.normalize_u8 — the fused
+        host+device preprocessing split, BASELINE north star)."""
+        if vision_x.dtype == jnp.uint8:
+            from otter_tpu.ops.image_prep import normalize_u8
+            vision_x = normalize_u8(vision_x, out_dtype=self.dtype)
         b, t, f = vision_x.shape[:3]
         flat = vision_x.reshape((b * t * f,) + vision_x.shape[3:])
         feats = self.vision_encoder(flat)[:, 1:, :]       # drop CLS

@@ -42,6 +42,23 @@ def resize_normalize(images_u8: jnp.ndarray, *, size: int = 224,
     return x.transpose(0, 3, 1, 2).astype(out_dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("mean", "std", "out_dtype"))
+def normalize_u8(x_u8: jnp.ndarray,
+                 mean: Tuple[float, float, float] = FLAMINGO_MEAN,
+                 std: Tuple[float, float, float] = FLAMINGO_STD,
+                 out_dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [..., H, W, 3] (already at target size) ->
+    normalized [..., 3, H, W]. The device half of the split pipeline:
+    the host only decodes + resizes in uint8; /255, mean/std and the
+    layout transpose run on the VPU (the loaders emit uint8 when
+    device_preprocess=True — 3x less host->device traffic too)."""
+    x = x_u8.astype(jnp.float32) / 255.0
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    x = (x - mean_a) / std_a
+    return jnp.moveaxis(x, -1, -3).astype(out_dtype)
+
+
 def device_preprocess(decoded: Sequence, *, size: int = 224,
                       mean=FLAMINGO_MEAN, std=FLAMINGO_STD,
                       out_dtype=jnp.float32) -> jnp.ndarray:

@@ -30,6 +30,8 @@ class TrainArgs:
     populate_rel_ins: bool = False
     with_task_description: bool = False
     dynamic_resolution: bool = False
+    # split preprocessing: host decodes+resizes uint8 only; normalize on TPU
+    device_preprocess: bool = False
     workers: int = 4
     # optimization
     batch_size: int = 128

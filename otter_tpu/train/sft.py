@@ -88,6 +88,7 @@ def build_loaders(args: TrainArgs, cfg: OtterConfig, tokenizer,
             keep_symbols=args.keep_symbols,
             populate_rel_ins=args.populate_rel_ins,
             with_task_description=args.with_task_description,
+            device_preprocess=args.device_preprocess,
             seed=args.seed)
         loaders.append(MimicitLoader(
             ds, per_process_batch, seed=args.seed, num_workers=args.workers,

@@ -162,3 +162,56 @@ def test_loader_sharding_and_weights(mimicit_fixture):
 
     multi = WeightedMultiLoader([MimicitLoader(ds, 2, num_workers=2)])
     assert len(list(multi)) == len(multi)
+
+
+def test_device_preprocess_split(mimicit_fixture):
+    """device_preprocess=True: the host emits uint8 HWC at patch size and
+    the model's device-side normalize reproduces the float pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from otter_tpu.ops.image_prep import normalize_u8
+
+    ins, img, _ = mimicit_fixture
+    ds_f = MimicitDataset([MimicitTask("DC", ins, img)], FakeTokenizer(),
+                          task_group="IMAGE_TEXT", patch_image_size=16)
+    ds_u8 = MimicitDataset([MimicitTask("DC", ins, img)], FakeTokenizer(),
+                           task_group="IMAGE_TEXT", patch_image_size=16,
+                           device_preprocess=True)
+    ex_u = ds_u8[0]
+    assert ex_u["patch_images"].dtype == np.uint8
+    assert ex_u["patch_images"].shape == (1, 1, 16, 16, 3)
+    got = np.asarray(normalize_u8(jnp.asarray(ex_u["patch_images"])))
+    # like-for-like reference: PIL resize + host float normalize (the
+    # float path may route through the native C++ resizer, whose bicubic
+    # differs from PIL's by a few ULPs of a pixel)
+    from otter_tpu.data.mimicit import decode_base64_image, preprocess_image
+    iid = ds_f.dataset[ds_f.train_data_list[0]]["image_ids"][0]
+    ref = preprocess_image(decode_base64_image(ds_f.images.get(iid)), 16)
+    np.testing.assert_allclose(got[0, 0], ref, atol=1e-5)
+
+    # collate keeps uint8 (3x less host->device traffic)
+    batch = ds_u8.collate([ds_u8[0], ds_u8[1]])
+    assert batch["net_input"]["patch_images"].dtype == np.uint8
+
+
+def test_model_accepts_uint8_vision(mimicit_fixture):
+    """OtterVLM normalizes uint8 vision input on device; logits match the
+    host-normalized float path."""
+    import jax
+    import jax.numpy as jnp
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.ops.image_prep import normalize_u8
+
+    rng = np.random.default_rng(0)
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg)
+    u8 = rng.integers(0, 256, (1, 1, 1, 28, 28, 3)).astype(np.uint8)
+    vx_f = np.asarray(normalize_u8(jnp.asarray(u8)))
+    ids = np.asarray(rng.integers(5, 200, (1, 8)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(vx_f),
+                        jnp.asarray(ids))
+    lf, _, _ = model.apply(params, jnp.asarray(vx_f), jnp.asarray(ids))
+    lu, _, _ = model.apply(params, jnp.asarray(u8), jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(lu), np.asarray(lf), atol=1e-5)
