@@ -22,6 +22,9 @@ AVAILABLE_DATASETS = [
     "3d.SceneNavigation", "funqa.FunQA_translation", "funqa.FunQA_mcqa",
     "funqa.FunQA_dia", "fpv.EGO4D", "translate.Translation",
 ]
+# concrete adapter classes + vendored prompt JSONs live in
+# otter_tpu/tools/syphus_datasets.py (DATASET_REGISTRY keyed by the names
+# above) and otter_tpu/tools/prompts/
 
 
 def load_prompt(path: str) -> Dict[str, Any]:

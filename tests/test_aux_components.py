@@ -168,3 +168,170 @@ def test_inference_yaml_driver(tmp_path, rng):
     results = run_cases(demo, cases)
     assert len(results) == 3
     assert all("answer" in r and "question" in r for r in results)
+
+
+def _png_b64_file(path, rng, size=20):
+    from PIL import Image
+    img = Image.fromarray((rng.random((size, size, 3)) * 255)
+                          .astype(np.uint8))
+    img.save(path)
+
+
+def test_syphus_dataset_adapters(tmp_path, rng):
+    """Every per-dataset syphus adapter parses its annotation schema into
+    [{id, sentences}] query inputs with the vendored prompt."""
+    import json
+    from otter_tpu.tools.syphus_datasets import (
+        CocoSpotTheDifference, DenseCaptions, EGO4D, FunQADia, FunQAMcqa,
+        FunQATranslation, SceneNavigation, SpotTheDifference, Translation,
+        TVCaptions, VisualStoryTelling, DATASET_REGISTRY)
+
+    assert len(DATASET_REGISTRY) == 11
+
+    p = tmp_path / "scan_info.json"
+    p.write_text(json.dumps({"scene0": {"description": [
+        ["spk", "a guitar leans on the wall"], ["spk", "a bed sits left"]]}}))
+    ds = SceneNavigation(str(p))
+    assert ds.query_inputs[0]["id"] == "scene0"
+    assert "guitar" in ds.query_inputs[0]["sentences"]
+    assert ds.prompt["in_context"]
+
+    p = tmp_path / "sd.json"
+    p.write_text(json.dumps([{"img_id": "42", "sentences": ["a", "b"]}]))
+    assert SpotTheDifference(str(p)).query_inputs == [
+        {"id": "42", "sentences": "a\nb"}]
+
+    p = tmp_path / "csd.json"
+    p.write_text(json.dumps({"7": {"sentences": "x differs"}}))
+    assert CocoSpotTheDifference(str(p)).query_inputs[0]["sentences"] == \
+        "x differs"
+
+    p = tmp_path / "dc.json"
+    p.write_text(json.dumps({"v1": {"timestamps": [[0.4, 2.6]],
+                                    "sentences": ["hi"]}}))
+    q = DenseCaptions(str(p)).query_inputs[0]
+    assert "timestamps: [[0, 3]]" in q["sentences"]
+
+    p = tmp_path / "tvc.jsonl"
+    p.write_text(json.dumps({"vid_name": "c1",
+                             "descs": [{"desc": "d1"}, {"desc": "d2"}]})
+                 + "\n")
+    assert TVCaptions(str(p)).query_inputs[0]["sentences"] == "1. d1\n2. d2"
+
+    p = tmp_path / "vist.json"
+    p.write_text(json.dumps({
+        "images": [{"id": "i1", "album_id": "a1", "title": "t",
+                    "tags": "tag"}],
+        "annotations": [[{"photo_flickr_id": "i1", "text": "story"}]],
+        "albums": [{"id": "a1", "title": "alb", "description": "de"}]}))
+    q = VisualStoryTelling(str(p)).query_inputs[0]
+    assert q["id"] == "a1" and "story" in q["sentences"]
+
+    funqa = [{"instruction": "Description of the videos humorous moment.",
+              "visual_input": "x/v.mp4", "output": "someone slips"},
+             {"instruction": "Why is the whole video humorous.",
+              "visual_input": "x/v.mp4", "output": "timing"}]
+    p = tmp_path / "funqa.json"
+    p.write_text(json.dumps(funqa))
+    q = FunQAMcqa(str(p)).query_inputs[0]
+    assert q["id"] == "v.mp4" and "counter-intuitive reason: timing" in \
+        q["sentences"]
+    assert FunQADia(str(p)).query_inputs
+    qt = FunQATranslation(str(p)).query_inputs
+    assert {x["id"] for x in qt} == {"v.mp4_H2", "v.mp4_H3"}
+
+    p = tmp_path / "ego.json"
+    p.write_text(json.dumps({"vid": {"clips": [{"narrations": [
+        {"time": 3.4, "text": "opens door",
+         "object_description": ["a door"]}]}]}}))
+    q = EGO4D(str(p)).query_inputs[0]
+    assert q["id"] == "vid_clip000000" and "opens door" in q["sentences"]
+
+    p = tmp_path / "trans.json"
+    p.write_text(json.dumps({"data": {"X": {"instruction": "q?",
+                                            "answer": "a!"}}}))
+    assert Translation(str(p)).query_inputs[0]["sentences"] == \
+        "<a>q?</a><b>a!</b>"
+
+
+def test_syphus_to_mimicit_roundtrip(tmp_path, rng):
+    """adapter -> scripted LLM -> instruction JSON + convert-it image
+    store -> MimicitDataset loads the generated sample (VERDICT r1 #10)."""
+    import json
+    from otter_tpu.data.mimicit import MimicitDataset, MimicitTask
+    from otter_tpu.tools.convert_it import pack_image_folder, save_json
+    from otter_tpu.tools.convert_it_datasets import SpotTheDifference as CSD
+    from otter_tpu.tools.syphus import generate_instructions
+    from otter_tpu.tools.syphus_datasets import SpotTheDifference
+    from helpers import TinyTokenizer
+
+    # convert-it: pack a folder of difference image pairs
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    _png_b64_file(img_dir / "42_1.png", rng)
+    _png_b64_file(img_dir / "42_2.png", rng)
+    packed = CSD(image_path=str(img_dir), resize_res=20).load()
+    assert set(packed) == {"42_1", "42_2"}
+    store_path = tmp_path / "SD.json"
+    save_json(packed, str(store_path))
+
+    # syphus: annotations -> instruction JSON via a scripted LLM
+    ann = tmp_path / "sd_train.json"
+    ann.write_text(json.dumps(
+        [{"img_id": "42_1", "sentences": ["the car is gone"]}]))
+    ds = SpotTheDifference(str(ann))
+
+    def chat_fn(messages):
+        assert messages[0]["role"] == "system"
+        return ("Question: what changed?\n"
+                "Answer: the car is gone")
+
+    result = generate_instructions(ds, chat_fn, num_threads=1)
+    assert not result["errors"]
+    ins_path = tmp_path / "SD_instructions.json"
+    ins_path.write_text(json.dumps(result))
+
+    mim = MimicitDataset(
+        [MimicitTask("SD", str(ins_path), str(store_path))],
+        TinyTokenizer(), task_group="IMAGE_TEXT", patch_image_size=16)
+    ex = mim[0]
+    assert "what changed?" in ex["full_text"]
+    assert ex["patch_images"].shape == (1, 1, 3, 16, 16)
+
+
+def test_convert_it_adapters(tmp_path, rng):
+    """Folder-layout adapters produce the id layouts the MIMIC-IT
+    datasets reference."""
+    from otter_tpu.tools.convert_it_datasets import (SceneNavigation,
+                                                     TVCaptions, Llava,
+                                                     DATASET_REGISTRY)
+    import json
+
+    assert len(DATASET_REGISTRY) == 8
+
+    # scannet layout {scene}/color/{frame}.jpg
+    color = tmp_path / "scene0000_00" / "color"
+    color.mkdir(parents=True)
+    _png_b64_file(color / "000100.png", rng)
+    out = SceneNavigation(image_path=str(tmp_path), resize_res=16).load()
+    assert list(out) == ["scene0000_00_color_000100"]
+
+    # tvqa layout {show}/{clip}/frames
+    clip = tmp_path / "show" / "clip_01"
+    clip.mkdir(parents=True)
+    for i in range(4):
+        _png_b64_file(clip / f"{i:05d}.png", rng)
+    out = TVCaptions(image_path=str(tmp_path), resize_res=16,
+                     frames=2).load()
+    ids = [k for k in out if k.startswith("clip_01")]
+    assert ids == ["clip_01_0000", "clip_01_0001"]
+
+    # llava layout: JSON ids + image root
+    root = tmp_path / "coco"
+    root.mkdir()
+    _png_b64_file(root / "IMG1.jpg", rng)
+    jpath = tmp_path / "la.json"
+    jpath.write_text(json.dumps({"IMG1": {}}))
+    out = Llava(image_root=str(root), image_path=str(jpath),
+                resize_res=16).load()
+    assert list(out) == ["IMG1"]
