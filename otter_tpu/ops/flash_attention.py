@@ -83,8 +83,9 @@ def _id_mask(q_ids, kv_ids, ids_mode: str):
 def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
                 has_bias: bool, has_ids: bool, bcast_bias_q: bool,
                 mask_value: float, num_kv_blocks: int,
-                block_q: int, block_k: int):
+                block_q: int, block_k: int, triangle: bool):
     it = iter(refs)
+    map_ref = next(it) if triangle else None
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -97,8 +98,17 @@ def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
     l_scr = next(it)
     acc_scr = next(it)
 
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    if triangle:
+        # flattened lower-triangle grid: only valid causal tiles are ever
+        # visited, so dead tiles cost no grid step (the clamped-DMA scheme
+        # below still paid the per-step floor for skipped tiles — measured
+        # at the full-grid wall time despite doing half the FLOPs)
+        t = pl.program_id(2)
+        qi = map_ref[0, t]
+        ki = map_ref[1, t]
+    else:
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _init():
@@ -106,7 +116,7 @@ def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
+    if causal and not triangle:
         # run only if some q position >= first k position of this tile
         should_run = ((qi + 1) * block_q - 1) >= ki * block_k
     else:
@@ -182,8 +192,21 @@ def _fwd_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
 
+def _triangle_maps(num_q: int, num_kv: int, bq: int, bk: int):
+    """Flat enumeration of the valid causal tiles, row-major: for each q
+    block i, kv blocks 0..last_k(i). Returns an int32 [2, T] (qi; ki)."""
+    qis, kis = [], []
+    for i in range(num_q):
+        lk = min(num_kv - 1, ((i + 1) * bq - 1) // bk)
+        for j in range(lk + 1):
+            qis.append(i)
+            kis.append(j)
+    import numpy as np
+    return np.asarray([qis, kis], dtype=np.int32)
+
+
 def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
-         block_sizes: BlockSizes, mask_value, interpret):
+         block_sizes: BlockSizes, mask_value, interpret, triangle=True):
     batch, heads, s_q, d = q.shape
     s_k = k.shape[2]
     # base-2 softmax: fold sm_scale*log2(e) into q and log2(e) into the
@@ -198,42 +221,71 @@ def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
     has_bias = bias is not None
     has_ids = q_ids is not None
     bcast_bias_q = has_bias and bias.shape[2] == 1
+    triangle = triangle and causal and num_q * num_kv > 1
 
-    grid = (batch, heads, num_q, num_kv)
+    if triangle:
+        # flattened lower-triangle grid (splash-attention style): the grid
+        # visits ONLY valid causal tiles, driven by a scalar-prefetched
+        # [2, T] (qi; ki) lookup table. The clamped-DMA scheme (else branch)
+        # elides dead tiles' loads but still pays their grid-step floor —
+        # measured at the full-grid wall time despite half the FLOPs.
+        tri = _triangle_maps(num_q, num_kv, bq, bk)
+        num_steps = tri.shape[1]
+        grid = (batch, heads, num_steps)
 
-    if causal:
-        # skipped upper-triangle tiles clamp their kv block index to the
-        # last VALID block of the row: consecutive identical block indices
-        # make Mosaic elide the DMA, so dead tiles cost neither compute
-        # (pl.when) nor bandwidth. Without this the causal kernel ran at
-        # the non-causal wall time (measured 2.12 vs 2.09 ms at s=2048).
-        def kv_j(i, j):
-            return jnp.minimum(j, ((i + 1) * bq - 1) // bk)
+        def q_i(b, h, t, m):
+            return (b, h, m[0, t], 0)
+
+        def kv_i(b, h, t, m):
+            return (b, h, m[1, t], 0)
     else:
-        def kv_j(i, j):
-            return j
+        grid = (batch, heads, num_q, num_kv)
+
+        if causal:
+            # skipped upper-triangle tiles clamp their kv block index to the
+            # last VALID block of the row: consecutive identical block
+            # indices make Mosaic elide the DMA, so dead tiles cost no
+            # bandwidth (but still a grid step each).
+            def kv_j(i, j):
+                return jnp.minimum(j, ((i + 1) * bq - 1) // bk)
+        else:
+            def kv_j(i, j):
+                return j
+
+        def q_i(b, h, i, j):
+            return (b, h, i, 0)
+
+        def kv_i(b, h, i, j):
+            return (b, h, kv_j(i, j), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, kv_j(i, j), 0)),
-        pl.BlockSpec((1, 1, bk, d), lambda b, h, i, j: (b, h, kv_j(i, j), 0)),
+        pl.BlockSpec((1, 1, bq, d), q_i),
+        pl.BlockSpec((1, 1, bk, d), kv_i),
+        pl.BlockSpec((1, 1, bk, d), kv_i),
     ]
     args = [q, k, v]
     if has_bias:
         bb, bh = bias.shape[0], bias.shape[1]
         bq_bias = 1 if bcast_bias_q else bq
-        in_specs.append(pl.BlockSpec(
-            (1, 1, bq_bias, bk),
-            lambda b, h, i, j, bb=bb, bh=bh, bc=bcast_bias_q: (
-                b if bb > 1 else 0, h if bh > 1 else 0, 0 if bc else i,
-                kv_j(i, j))))
+
+        def bias_i(*ix, bb=bb, bh=bh, bc=bcast_bias_q):
+            b, h = ix[0], ix[1]
+            qb, kb = q_i(*ix)[2], kv_i(*ix)[2]
+            return (b if bb > 1 else 0, h if bh > 1 else 0,
+                    0 if bc else qb, kb)
+
+        in_specs.append(pl.BlockSpec((1, 1, bq_bias, bk), bias_i))
         args.append(bias)
     if has_ids:
         # q_ids: [B, S_q, NUM_LANES] lane-replicated; kv_ids: [B, NUM_SUBLANES, S_k]
-        in_specs.append(pl.BlockSpec((1, bq, NUM_LANES),
-                                     lambda b, h, i, j: (b, i, 0)))
-        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk),
-                                     lambda b, h, i, j: (b, 0, kv_j(i, j))))
+        def qids_i(*ix):
+            return (ix[0], q_i(*ix)[2], 0)
+
+        def kids_i(*ix):
+            return (ix[0], 0, kv_i(*ix)[2])
+
+        in_specs.append(pl.BlockSpec((1, bq, NUM_LANES), qids_i))
+        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk), kids_i))
         args.extend([q_ids, kv_ids])
 
     out_shape = [
@@ -241,31 +293,50 @@ def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
         jax.ShapeDtypeStruct((batch, heads, s_q, NUM_LANES), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, bq, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, bq, d), q_i),
+        pl.BlockSpec((1, 1, bq, NUM_LANES), q_i),
     ]
 
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale, ids_mode=ids_mode,
         has_bias=has_bias, has_ids=has_ids, bcast_bias_q=bcast_bias_q,
-        mask_value=mask_value, num_kv_blocks=num_kv, block_q=bq, block_k=bk)
+        mask_value=mask_value, num_kv_blocks=num_kv, block_q=bq, block_k=bk,
+        triangle=triangle)
 
-    o, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
-        interpret=interpret,
-    )(*args)
+    scratch_shapes = [
+        pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+        pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+        pltpu.VMEM((bq, d), jnp.float32),
+    ]
+
+    if triangle:
+        o, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(tri, *args)
+    else:
+        o, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+            interpret=interpret,
+        )(*args)
     return o, lse
 
 
