@@ -45,13 +45,14 @@ PAD_ID = jnp.iinfo(jnp.int32).max // 2
 
 
 class BlockSizes(NamedTuple):
-    # defaults from a v5e sweep (72 TFLOP/s fwd @ b4 h32 s2048 d128 causal,
-    # matching JAX's canonical TPU flash kernel on the same stack)
+    # defaults from a v5e sweep on the triangle grid (b4 h32 s2048 d128
+    # causal+ALiBi: fwd 1.80 ms / 76 TFLOP/s, fwd+bwd 4.15 ms / 116 TFLOP/s
+    # causal accounting)
     block_q: int = 1024
     block_k: int = 1024
-    block_q_dkv: int = 512
+    block_q_dkv: int = 1024
     block_k_dkv: int = 512
-    block_q_dq: int = 512
+    block_q_dq: int = 1024
     block_k_dq: int = 512
 
 
@@ -346,8 +347,9 @@ def _fwd(q, k, v, bias, q_ids, kv_ids, *, causal, sm_scale, ids_mode,
 def _bwd_dkv_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
                     has_bias: bool, has_ids: bool, bcast_bias_q: bool,
                     mask_value: float, num_q_blocks: int,
-                    block_q: int, block_k: int):
+                    block_q: int, block_k: int, triangle: bool):
     it = iter(refs)
+    map_ref = next(it) if triangle else None
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -362,15 +364,23 @@ def _bwd_dkv_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
     dk_scr = next(it)
     dv_scr = next(it)
 
-    ki = pl.program_id(2)
-    qi = pl.program_id(3)
+    if triangle:
+        t = pl.program_id(2)
+        ki = map_ref[0, t]
+        qi = map_ref[1, t]
+        # first valid q block for this kv column
+        first_q = (ki * block_k) // block_q
+    else:
+        ki = pl.program_id(2)
+        qi = pl.program_id(3)
+        first_q = 0
 
-    @pl.when(qi == 0)
+    @pl.when(qi == first_q)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    if causal:
+    if causal and not triangle:
         should_run = ((qi + 1) * block_q - 1) >= ki * block_k
     else:
         should_run = True
@@ -434,8 +444,9 @@ def _bwd_dkv_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
 def _bwd_dq_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
                    has_bias: bool, has_ids: bool, bcast_bias_q: bool,
                    mask_value: float, num_kv_blocks: int,
-                   block_q: int, block_k: int):
+                   block_q: int, block_k: int, triangle: bool):
     it = iter(refs)
+    map_ref = next(it) if triangle else None
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -448,14 +459,19 @@ def _bwd_dq_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
     dq_ref = next(it)
     dq_scr = next(it)
 
-    qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    if triangle:
+        t = pl.program_id(2)
+        qi = map_ref[0, t]
+        ki = map_ref[1, t]
+    else:
+        qi = pl.program_id(2)
+        ki = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    if causal:
+    if causal and not triangle:
         should_run = ((qi + 1) * block_q - 1) >= ki * block_k
     else:
         should_run = True
@@ -504,26 +520,56 @@ def _bwd_dq_kernel(*refs, causal: bool, sm_scale: float, ids_mode: str,
                                        (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
-    @pl.when(ki == num_kv_blocks - 1)
+    if causal and triangle:
+        last_k = jnp.minimum(num_kv_blocks - 1,
+                             ((qi + 1) * block_q - 1) // block_k)
+    else:
+        last_k = num_kv_blocks - 1
+
+    @pl.when(ki == last_k)
     def _store():
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _make_bias_spec(bias, bq, bk, bcast_bias_q, q_axis=2):
-    bb, bh = bias.shape[0], bias.shape[1]
-    bq_bias = 1 if bcast_bias_q else bq
-
-    def idx(b, h, x, y, bb=bb, bh=bh, bc=bcast_bias_q, q_axis=q_axis):
-        # grid is (b, h, ki, qi) for dkv and (b, h, qi, ki) for dq
-        qi, ki = (y, x) if q_axis == 3 else (x, y)
-        return (b if bb > 1 else 0, h if bh > 1 else 0,
-                0 if bc else qi, ki)
-
-    return pl.BlockSpec((1, 1, bq_bias, bk), idx)
+def _bwd_pallas_call(kernel, *, grid4, q_block_idx, kv_block_idx, triangle,
+                     tri_map, in_specs_fn, out_shape,
+                     scratch_shapes, interpret, args):
+    """Shared launch plumbing for the two backward kernels: full 4-d grid
+    or flattened triangle grid with a scalar-prefetched map."""
+    if triangle:
+        grid = (grid4[0], grid4[1], tri_map.shape[1])
+        in_specs, o_specs = in_specs_fn(q_block_idx, kv_block_idx)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=o_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(tri_map, *args)
+    in_specs, o_specs = in_specs_fn(q_block_idx, kv_block_idx)
+    return pl.pallas_call(
+        kernel,
+        grid=grid4,
+        in_specs=in_specs,
+        out_specs=o_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
 
 
 def _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value, interpret,
-         res, g):
+         res, g, triangle=True):
     q, k, v, bias, q_ids, kv_ids, o, lse = res
     do = g
     batch, heads, s_q, d = q.shape
@@ -535,6 +581,7 @@ def _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value, interpret,
     has_bias = bias is not None
     has_ids = q_ids is not None
     bcast_bias_q = has_bias and bias.shape[2] == 1
+    triangle = triangle and causal
 
     # di = rowsum(o * do), lane-replicated like lse
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
@@ -545,40 +592,90 @@ def _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value, interpret,
                   has_bias=has_bias, has_ids=has_ids,
                   bcast_bias_q=bcast_bias_q, mask_value=mask_value)
 
-    # ── dK/dV: grid (b, h, ki, qi), qi innermost ──
-    num_q, num_kv = s_q // bq_dkv, s_k // bk_dkv
-    in_specs = [
-        pl.BlockSpec((1, 1, bq_dkv, d), lambda b, h, j, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
-    ]
-    args = [q, k, v]
-    if has_bias:
-        in_specs.append(_make_bias_spec(bias, bq_dkv, bk_dkv, bcast_bias_q,
-                                        q_axis=3))
-        args.append(bias)
-    if has_ids:
-        in_specs.append(pl.BlockSpec((1, bq_dkv, NUM_LANES),
-                                     lambda b, h, j, i: (b, i, 0)))
-        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk_dkv),
-                                     lambda b, h, j, i: (b, 0, j)))
-        args.extend([q_ids, kv_ids])
-    in_specs.extend([
-        pl.BlockSpec((1, 1, bq_dkv, NUM_LANES), lambda b, h, j, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq_dkv, NUM_LANES), lambda b, h, j, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq_dkv, d), lambda b, h, j, i: (b, h, i, 0)),
-    ])
-    args.extend([lse, di, do])
+    def specs_for(bq, bk, q_idx, kv_idx):
+        """in_specs (q,k,v,[bias],[ids],lse,di,do) given index functions that
+        return the q/kv block index from the grid indices."""
+        def qb(*ix):
+            return (ix[0], ix[1], q_idx(*ix), 0)
 
-    dk, dv = pl.pallas_call(
+        def kb(*ix):
+            return (ix[0], ix[1], kv_idx(*ix), 0)
+
+        bspecs = [
+            pl.BlockSpec((1, 1, bq, d), qb),
+            pl.BlockSpec((1, 1, bk, d), kb),
+            pl.BlockSpec((1, 1, bk, d), kb),
+        ]
+        if has_bias:
+            bb, bh = bias.shape[0], bias.shape[1]
+            bq_bias = 1 if bcast_bias_q else bq
+
+            def bias_idx(*ix, bb=bb, bh=bh, bc=bcast_bias_q):
+                return (ix[0] if bb > 1 else 0, ix[1] if bh > 1 else 0,
+                        0 if bc else q_idx(*ix), kv_idx(*ix))
+
+            bspecs.append(pl.BlockSpec((1, 1, bq_bias, bk), bias_idx))
+        if has_ids:
+            bspecs.append(pl.BlockSpec(
+                (1, bq, NUM_LANES), lambda *ix: (ix[0], q_idx(*ix), 0)))
+            bspecs.append(pl.BlockSpec(
+                (1, NUM_SUBLANES, bk), lambda *ix: (ix[0], 0, kv_idx(*ix))))
+        bspecs.extend([
+            pl.BlockSpec((1, 1, bq, NUM_LANES), qb),
+            pl.BlockSpec((1, 1, bq, NUM_LANES), qb),
+            pl.BlockSpec((1, 1, bq, d), qb),
+        ])
+        return bspecs, qb, kb
+
+    def make_args():
+        a = [q, k, v]
+        if has_bias:
+            a.append(bias)
+        if has_ids:
+            a.extend([q_ids, kv_ids])
+        a.extend([lse, di, do])
+        return a
+
+    # ── dK/dV: kv-major iteration, q innermost per kv column ──
+    num_q, num_kv = s_q // bq_dkv, s_k // bk_dkv
+    if triangle:
+        # column-major triangle: for each ki, all valid qi (ascending)
+        import numpy as np
+        kis, qis = [], []
+        for j in range(num_kv):
+            for i in range(num_q):
+                if (i + 1) * bq_dkv - 1 >= j * bk_dkv:
+                    kis.append(j)
+                    qis.append(i)
+        tri_dkv = np.asarray([kis, qis], dtype=np.int32)
+
+        def q_idx_dkv(b, h, t, m):
+            return m[1, t]
+
+        def kv_idx_dkv(b, h, t, m):
+            return m[0, t]
+    else:
+        tri_dkv = None
+
+        def q_idx_dkv(b, h, j, i):
+            return i
+
+        def kv_idx_dkv(b, h, j, i):
+            return j
+
+    def in_specs_dkv(q_idx, kv_idx):
+        bspecs, qb, kb = specs_for(bq_dkv, bk_dkv, q_idx, kv_idx)
+        return bspecs, [pl.BlockSpec((1, 1, bk_dkv, d), kb),
+                        pl.BlockSpec((1, 1, bk_dkv, d), kb)]
+
+    dk, dv = _bwd_pallas_call(
         functools.partial(_bwd_dkv_kernel, num_q_blocks=num_q,
-                          block_q=bq_dkv, block_k=bk_dkv, **common),
-        grid=(batch, heads, num_kv, num_q),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, bk_dkv, d), lambda b, h, j, i: (b, h, j, 0)),
-        ],
+                          block_q=bq_dkv, block_k=bk_dkv,
+                          triangle=triangle, **common),
+        grid4=(batch, heads, num_kv, num_q),
+        q_block_idx=q_idx_dkv, kv_block_idx=kv_idx_dkv,
+        triangle=triangle, tri_map=tri_dkv,
+        in_specs_fn=in_specs_dkv,
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
@@ -587,51 +684,46 @@ def _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value, interpret,
             pltpu.VMEM((bk_dkv, d), jnp.float32),
             pltpu.VMEM((bk_dkv, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
         interpret=interpret,
-    )(*args)
+        args=make_args(),
+    )
 
-    # ── dQ: grid (b, h, qi, ki), ki innermost ──
+    # ── dQ: q-major iteration, kv innermost per q row ──
     num_q, num_kv = s_q // bq_dq, s_k // bk_dq
-    in_specs = [
-        pl.BlockSpec((1, 1, bq_dq, d), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bk_dq, d), lambda b, h, i, j: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, bk_dq, d), lambda b, h, i, j: (b, h, j, 0)),
-    ]
-    args = [q, k, v]
-    if has_bias:
-        in_specs.append(_make_bias_spec(bias, bq_dq, bk_dq, bcast_bias_q,
-                                        q_axis=2))
-        args.append(bias)
-    if has_ids:
-        in_specs.append(pl.BlockSpec((1, bq_dq, NUM_LANES),
-                                     lambda b, h, i, j: (b, i, 0)))
-        in_specs.append(pl.BlockSpec((1, NUM_SUBLANES, bk_dq),
-                                     lambda b, h, i, j: (b, 0, j)))
-        args.extend([q_ids, kv_ids])
-    in_specs.extend([
-        pl.BlockSpec((1, 1, bq_dq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq_dq, NUM_LANES), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, bq_dq, d), lambda b, h, i, j: (b, h, i, 0)),
-    ])
-    args.extend([lse, di, do])
+    if triangle:
+        tri_dq = _triangle_maps(num_q, num_kv, bq_dq, bk_dq)
 
-    dq = pl.pallas_call(
+        def q_idx_dq(b, h, t, m):
+            return m[0, t]
+
+        def kv_idx_dq(b, h, t, m):
+            return m[1, t]
+    else:
+        tri_dq = None
+
+        def q_idx_dq(b, h, i, j):
+            return i
+
+        def kv_idx_dq(b, h, i, j):
+            return j
+
+    def in_specs_dq(q_idx, kv_idx):
+        bspecs, qb, kb = specs_for(bq_dq, bk_dq, q_idx, kv_idx)
+        return bspecs, pl.BlockSpec((1, 1, bq_dq, d), qb)
+
+    dq = _bwd_pallas_call(
         functools.partial(_bwd_dq_kernel, num_kv_blocks=num_kv,
-                          block_q=bq_dq, block_k=bk_dq, **common),
-        grid=(batch, heads, num_q, num_kv),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq_dq, d),
-                               lambda b, h, i, j: (b, h, i, 0)),
+                          block_q=bq_dq, block_k=bk_dq,
+                          triangle=triangle, **common),
+        grid4=(batch, heads, num_q, num_kv),
+        q_block_idx=q_idx_dq, kv_block_idx=kv_idx_dq,
+        triangle=triangle, tri_map=tri_dq,
+        in_specs_fn=in_specs_dq,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((bq_dq, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
         interpret=interpret,
-    )(*args)
+        args=make_args(),
+    )
 
     dbias = jnp.zeros_like(bias) if bias is not None else None
     dq_ids = jnp.zeros_like(q_ids) if q_ids is not None else None
