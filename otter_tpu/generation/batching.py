@@ -170,13 +170,10 @@ class ContinuousBatcher:
         if bucket not in self._insert_fns:
             def insert(big, small, buffer, valid, latents, slot,
                        ids_row, mask_row, lat_row):
-                for name in big:
-                    big = dict(big)
-                    layer = dict(big[name])
-                    for kv in ("k", "v"):
-                        layer[kv] = layer[kv].at[slot, :, :bucket, :].set(
-                            small[name][kv][0])
-                    big[name] = layer
+                # stacked cache [B, NL, hk, L, d]: one scatter per k/v
+                # covers every layer's slot row
+                big = {kv: big[kv].at[slot, :, :, :bucket, :].set(
+                    small[kv][0]) for kv in ("k", "v")}
                 buffer = buffer.at[slot, :bucket].set(ids_row)
                 row_valid = jnp.zeros((self.L,), bool).at[:bucket].set(
                     mask_row.astype(bool))
@@ -184,7 +181,8 @@ class ContinuousBatcher:
                 t = lat_row.shape[1]
                 latents = latents.at[slot, :t].set(lat_row[0])
                 return big, buffer, valid, latents
-            self._insert_fns[bucket] = jax.jit(insert)
+            self._insert_fns[bucket] = jax.jit(insert,
+                                               donate_argnums=(0, 2, 3, 4))
         return self._insert_fns[bucket]
 
     def _get_decode(self, lp_configs: Tuple[Tuple[int, Any], ...]):
@@ -220,7 +218,9 @@ class ContinuousBatcher:
             nxt = jnp.where(active, nxt, 0)
             return nxt, cache, buffer, valid
 
-        self._decode_fns[key] = jax.jit(decode)
+        # donate cache/buffer/valid: threaded through the jit boundary
+        # every step, reassigned from the returns
+        self._decode_fns[key] = jax.jit(decode, donate_argnums=(1, 2, 3))
         return self._decode_fns[key]
 
     # ── scheduler ─────────────────────────────────────────────────────

@@ -348,7 +348,10 @@ class OtterGenerator:
             self._prefill_fns[pk] = jax.jit(prefill)
         sk = (b, cache_len)
         if sk not in self._step_fns:
-            self._step_fns[sk] = jax.jit(self._step)
+            # donate the cache: the streaming loop threads it through the
+            # jit boundary every token, and an undonated 1 GB-class cache
+            # costs a full entry copy per step
+            self._step_fns[sk] = jax.jit(self._step, donate_argnums=(2,))
 
         last_logits, cache, vis_latents = self._prefill_fns[pk](
             self.params, vision_x, lang_x, attention_mask, vision_mask)

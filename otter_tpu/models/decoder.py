@@ -86,11 +86,12 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions=None, attn_ids=None, bias=None,
-                 cache=None, kv_valid=None, cache_pos=None,
+                 cache=None, kv_valid=None, cache_pos=None, layer: int = 0,
                  project_out: bool = True):
         """x: [B, S, D]. Prefill (cache=None or writing from 0) uses the
         causal Pallas kernel; decode (cache with q_len small) uses dense
-        attention against the cache.
+        attention against the cache. `cache` is the full stacked pytree
+        (see init_cache); `layer` selects this layer's slot on axis 1.
 
         Returns (out [B,S,D], new_cache_entry or None); with
         project_out=False returns (raw [B,S,h*d], (out_kernel_q, out_scale),
@@ -163,29 +164,33 @@ class SelfAttention(nn.Module):
 
         new_cache = None
         if cache is not None and cache_pos is not None and kv_valid is not None:
-            # decode: append k,v at cache_pos, attend against full cache.
-            # cache_pos may be a scalar (whole batch at one offset — the
-            # single-stream engine) or a [B] vector (per-row offsets — the
+            # decode: append k,v at cache_pos (into the stacked cache at
+            # layer axis 1), attend against this layer's cache. cache_pos
+            # may be a scalar (whole batch at one offset — the single-stream
+            # engine) or a [B] vector (per-row offsets — the
             # continuous-batching engine, where each slot has its own
             # length).
             if getattr(cache_pos, "ndim", 0) == 1:
                 assert s == 1, "per-row cache_pos requires q_len == 1"
                 rows = jnp.arange(b)
-                ck = cache["k"].at[rows, :, cache_pos, :].set(
+                ck = cache["k"].at[rows, layer, :, cache_pos, :].set(
                     k[:, :, 0, :].astype(cache["k"].dtype))
-                cv = cache["v"].at[rows, :, cache_pos, :].set(
+                cv = cache["v"].at[rows, layer, :, cache_pos, :].set(
                     v[:, :, 0, :].astype(cache["v"].dtype))
             else:
-                ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(
-                    cache["k"].dtype), (0, 0, cache_pos, 0))
-                cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(
-                    cache["v"].dtype), (0, 0, cache_pos, 0))
+                ck = jax.lax.dynamic_update_slice(
+                    cache["k"], k[:, None].astype(cache["k"].dtype),
+                    (0, layer, 0, cache_pos, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    cache["v"], v[:, None].astype(cache["v"].dtype),
+                    (0, layer, 0, cache_pos, 0))
             new_cache = {"k": ck, "v": cv}
-            if self._use_decode_kernel(ck) and s == 1 \
-                    and q.shape[1] == ck.shape[1]:
+            ckl, cvl = ck[:, layer], cv[:, layer]
+            if self._use_decode_kernel(ckl) and s == 1 \
+                    and q.shape[1] == ckl.shape[1]:
                 # Pallas decode kernel: reads only valid cache blocks
                 from otter_tpu.ops.decode_attention import decode_attention
-                L = ck.shape[2]
+                L = ckl.shape[2]
                 idx = jnp.arange(L)[None, :]
                 valid = kv_valid.astype(bool)
                 lengths = jnp.max(jnp.where(valid, idx + 1, 0), axis=-1)
@@ -193,11 +198,11 @@ class SelfAttention(nn.Module):
                 b2 = bias[:, :, 0, :] if bias is not None and \
                     bias.ndim == 4 else bias
                 out = decode_attention(
-                    q[:, :, 0, :], ck, cv, lengths, b2, starts=starts,
+                    q[:, :, 0, :], ckl, cvl, lengths, b2, starts=starts,
                     sm_scale=self._scale(),
                     interpret=jax.default_backend() != "tpu")[:, :, None, :]
             else:
-                out = _decode_attention(q, ck, cv, kv_valid, bias,
+                out = _decode_attention(q, ckl, cvl, kv_valid, bias,
                                         sm_scale=self._scale())
         else:
             out = multi_head_attention(
@@ -206,9 +211,11 @@ class SelfAttention(nn.Module):
             if cache is not None:
                 # prefill: write k/v at offset 0 into the preallocated cache
                 ck = jax.lax.dynamic_update_slice(
-                    cache["k"], k.astype(cache["k"].dtype), (0, 0, 0, 0))
+                    cache["k"], k[:, None].astype(cache["k"].dtype),
+                    (0, layer, 0, 0, 0))
                 cv = jax.lax.dynamic_update_slice(
-                    cache["v"], v.astype(cache["v"].dtype), (0, 0, 0, 0))
+                    cache["v"], v[:, None].astype(cache["v"].dtype),
+                    (0, layer, 0, 0, 0))
                 new_cache = {"k": ck, "v": cv}
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
@@ -342,7 +349,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, positions=None, attn_ids=None, bias=None,
-                 cache=None, kv_valid=None, cache_pos=None):
+                 cache=None, kv_valid=None, cache_pos=None, layer: int = 0):
         c = self.cfg
         if c.arch == "falcon":
             # falcon-7b parallel attention + MLP off one LN
@@ -350,7 +357,8 @@ class DecoderLayer(nn.Module):
             ln = _norm(c, self.dtype, "norm_1")(x)
             attn, new_cache = SelfAttention(c, self.dtype, name="attn")(
                 ln, positions=positions, attn_ids=attn_ids, bias=bias,
-                cache=cache, kv_valid=kv_valid, cache_pos=cache_pos)
+                cache=cache, kv_valid=kv_valid, cache_pos=cache_pos,
+                layer=layer)
             mlp = MLP(c, self.dtype, name="ffn")(ln)
             return x + attn + mlp, new_cache
 
@@ -374,7 +382,7 @@ class DecoderLayer(nn.Module):
                 c, self.dtype, name="attn")(
                 a, positions=positions, attn_ids=attn_ids, bias=bias,
                 cache=cache, kv_valid=kv_valid, cache_pos=cache_pos,
-                project_out=False)
+                layer=layer, project_out=False)
             ns = _NormScaleHolder(name="norm_2")(c.hidden_size)
             kq1, s1, kq2, s2 = _FFNQHolder(c.mlp_dim, c.hidden_size,
                                            name="ffn")()
@@ -388,7 +396,7 @@ class DecoderLayer(nn.Module):
 
         attn, new_cache = SelfAttention(c, self.dtype, name="attn")(
             a, positions=positions, attn_ids=attn_ids, bias=bias,
-            cache=cache, kv_valid=kv_valid, cache_pos=cache_pos)
+            cache=cache, kv_valid=kv_valid, cache_pos=cache_pos, layer=layer)
         x = x + attn
         m = _norm(c, self.dtype, "norm_2")(x)
         x = x + MLP(c, self.dtype, name="ffn")(m)
@@ -454,7 +462,7 @@ class Decoder(nn.Module):
         if c.pos == "alibi":
             slopes = alibi_slopes(c.num_attention_heads, c.alibi_bias_max)
             if decoding:
-                L = cache["layers_0"]["k"].shape[2]
+                L = cache["k"].shape[3]
                 # column j gets (j - last_pos) * slope; last_pos = cache_pos+s-1
                 # (cache_pos scalar, or [B] for per-row continuous batching)
                 last = jnp.broadcast_to(jnp.asarray(cache_pos) + s - 1, (b,))
@@ -468,7 +476,7 @@ class Decoder(nn.Module):
         if decoding:
             # intra-block causality for s>1 decode steps
             if s > 1:
-                L = cache["layers_0"]["k"].shape[2]
+                L = cache["k"].shape[3]
                 qpos = cache_pos + jnp.arange(s)
                 block_mask = jnp.arange(L)[None, :] <= qpos[:, None]
                 mb = jnp.where(block_mask, 0.0, DEFAULT_MASK_VALUE)
@@ -489,7 +497,10 @@ class Decoder(nn.Module):
                 static_argnums=(),
                 prevent_cse=False)
 
-        new_cache = {} if cache is not None else None
+        # the stacked cache threads through the layer loop: each layer's
+        # update returns the full pytree with its slot written (in-place
+        # dus chain under jit)
+        cur_cache = cache
         for i in range(c.num_hidden_layers):
             if (xattn_every and (i + 1) % xattn_every == 0
                     and vis_latents is not None):
@@ -503,13 +514,14 @@ class Decoder(nn.Module):
                     dtype=self.dtype, name=f"xattn_{i}")(
                         x, vis_latents, xattn_q_ids, xattn_kv_ids,
                         xattn_out_keep)
-            layer_cache = cache[f"layers_{i}"] if cache is not None else None
             x, lc = layer_cls(c, self.dtype, name=f"layers_{i}")(
                 x, positions=positions, attn_ids=attn_ids, bias=bias,
-                cache=layer_cache, kv_valid=kv_valid, cache_pos=cache_pos)
+                cache=cur_cache, kv_valid=kv_valid, cache_pos=cache_pos,
+                layer=i)
             x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), None, None)
-            if new_cache is not None:
-                new_cache[f"layers_{i}"] = lc
+            if cur_cache is not None and lc is not None:
+                cur_cache = lc
+        new_cache = cur_cache if cache is not None else None
 
         x = _norm(c, self.dtype, "norm_f")(x)
 
@@ -527,8 +539,21 @@ class Decoder(nn.Module):
 
 def init_cache(cfg: TextConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Preallocated KV cache pytree."""
-    shape = (batch, cfg.kv_heads, max_len, cfg.head_dim)
-    return {f"layers_{i}": {"k": jnp.zeros(shape, dtype),
-                            "v": jnp.zeros(shape, dtype)}
-            for i in range(cfg.num_hidden_layers)}
+    """Preallocated KV cache: ONE stacked array per k/v with the layer as
+    axis 1 ([batch, n_layers, kv_heads, max_len, head_dim]).
+
+    Stacked rather than a dict of per-layer arrays because XLA's
+    memory-space-assignment pass staged each 16.8 MB per-layer array
+    HBM->VMEM around the in-place cache update and evicted it back every
+    decode step (2 full cache passes/layer, measured 2.1 ms/step on the 7B);
+    a buffer larger than VMEM is updated in place in HBM. Batch stays axis 0
+    so per-row slot scatter (continuous batching) and beam-search row
+    gathers are layout-agnostic."""
+    shape = (batch, cfg.num_hidden_layers, cfg.kv_heads, max_len,
+             cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cache_len_of(cache) -> int:
+    """Sequence capacity of a cache pytree."""
+    return cache["k"].shape[3]

@@ -275,17 +275,18 @@ class IdeficsVLM(nn.Module):
             layer_cls = nn.remat(DecoderLayer, static_argnums=(),
                                  prevent_cse=False)
 
-        new_cache = {} if cache is not None else None
+        cur_cache = cache
         for i in range(t.num_hidden_layers):
             if i % c.cross_layer_interval == 0:
                 x = IdeficsGatedXAttn(c, self.dtype, name=f"xattn_{i}")(
                     x, image_hidden, img_bias, keep_gate)
-            layer_cache = cache[f"layers_{i}"] if cache is not None else None
             x, lc = layer_cls(t, self.dtype, name=f"layers_{i}")(
                 x, positions=positions, attn_ids=attn_ids, bias=None,
-                cache=layer_cache, kv_valid=kv_valid, cache_pos=cache_pos)
-            if new_cache is not None:
-                new_cache[f"layers_{i}"] = lc
+                cache=cur_cache, kv_valid=kv_valid, cache_pos=cache_pos,
+                layer=i)
+            if cur_cache is not None and lc is not None:
+                cur_cache = lc
+        new_cache = cur_cache if cache is not None else None
 
         x = RMSNormModule(eps=t.norm_eps, dtype=self.dtype, name="norm_f")(x)
         # decoupled lm_head (IdeficsDecoupledLinear)

@@ -139,7 +139,7 @@ def test_fused_layer_tail_matches_unfused(rng):
     layer = DecoderLayer(cfg, dtype=jnp.float32, fused_tail=True)
     b, L = 2, 16
     x1 = jnp.asarray(rng.standard_normal((b, 1, 64)), jnp.float32)
-    cache = init_cache(cfg, b, L, jnp.float32)["layers_0"]
+    cache = init_cache(cfg, b, L, jnp.float32)
     kv_valid = jnp.asarray(np.arange(L)[None, :] <= 4).repeat(b, 0)
     pos = jnp.full((b, 1), 4, jnp.int32)
     kwargs = dict(positions=pos, cache=cache, kv_valid=kv_valid, cache_pos=4)
@@ -166,7 +166,7 @@ def test_fused_layer_tail_matches_unfused(rng):
     # unfused reference: same decode call with tokens > 32 is awkward at
     # q_len 1, so replicate the batch to exceed the token threshold
     x_big = jnp.concatenate([x1] * 17, axis=0)            # 34 tokens
-    cache_big = init_cache(cfg, 34, L, jnp.float32)["layers_0"]
+    cache_big = init_cache(cfg, 34, L, jnp.float32)
     kwargs_big = dict(positions=jnp.full((34, 1), 4, jnp.int32),
                       cache=cache_big,
                       kv_valid=jnp.asarray(
