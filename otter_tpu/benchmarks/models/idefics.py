@@ -95,6 +95,36 @@ class Idefics:
             text = text.split(stop)[0]
         return text.strip().strip('"')
 
+    def generate_batch(self, prompts, raw_images) -> list:
+        """Batched generate for the public eval suite: FULL prompt strings
+        (few-shot context included), left-padded into one batch (the
+        reference batches idefics eval via eval_model.py:21-60)."""
+        import jax.numpy as jnp
+        from otter_tpu.config import GenerationConfig
+        vision = np.concatenate([self._vision(im) for im in raw_images], 0)
+        encs = [self.tokenizer(p, return_tensors="np")["input_ids"][0]
+                .astype(np.int32) for p in prompts]
+        width = max(len(e) for e in encs)
+        ids = np.zeros((len(encs), width), np.int32)
+        mask = np.zeros((len(encs), width), np.int32)
+        for i, e in enumerate(encs):
+            ids[i, width - len(e):] = e
+            mask[i, width - len(e):] = 1
+        eng = self._get_engine()
+        out = eng.generate(
+            jnp.asarray(vision), jnp.asarray(ids),
+            attention_mask=jnp.asarray(mask),
+            gen=GenerationConfig(max_new_tokens=self.max_new_tokens,
+                                 eos_token_id=self.cfg.eoc_token_id))
+        texts = []
+        for row in np.asarray(out[:, width:]):
+            text = self.tokenizer.decode(row)
+            text = text.split("<answer>")[-1]
+            for stop in ("<end_of_utterance>", "</s>"):
+                text = text.split(stop)[0]
+            texts.append(text.strip().strip('"'))
+        return texts
+
     def eval_forward(self, question: str, answer: str, image=None) -> float:
         import jax
         import jax.numpy as jnp

@@ -18,6 +18,7 @@ from typing import Any, List, Optional, Tuple
 class SeparatorStyle(Enum):
     SINGLE = auto()
     TWO = auto()
+    IDEFICS = auto()
 
 
 @dataclasses.dataclass
@@ -53,6 +54,22 @@ class Conversation:
                     if isinstance(message, tuple):
                         message = message[0].strip()
                     ret += message + seps[i % 2]
+            return ret
+        if self.sep_style == SeparatorStyle.IDEFICS:
+            # HF idefics-instruct chat contract (the prompt format the
+            # reference's TestIdefics demo and benchmark adapter use):
+            # "User:{q}<end_of_utterance>\nAssistant:{a}<end_of_utterance>\n"
+            # — an empty assistant message leaves "Assistant:" open for
+            # generation. An image placeholder is wrapped in
+            # <fake_token_around_image> by the caller.
+            ret = self.system
+            for role, message in self.messages:
+                if message:
+                    if isinstance(message, tuple):
+                        message = message[0]
+                    ret += f"{role}:{message}{self.sep}"
+                else:
+                    ret += f"{role}:"
             return ret
         raise ValueError(f"invalid style {self.sep_style}")
 
@@ -122,5 +139,14 @@ open_flamingo_v1 = Conversation(
     system="", roles=(None, None), messages=[], offset=0,
     sep_style=SeparatorStyle.TWO, sep="", sep2="</s>")
 
+idefics_instruct = Conversation(
+    system="", roles=("User", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.IDEFICS, sep="<end_of_utterance>\n")
+
 default_conversation = otter_v1
-conv_templates = {"otter": otter_v1, "open_flamingo": open_flamingo_v1}
+conv_templates = {"otter": otter_v1, "open_flamingo": open_flamingo_v1,
+                  "idefics": idefics_instruct}
+
+
+IDEFICS_IMAGE_PLACEHOLDER = ("<fake_token_around_image><image>"
+                             "<fake_token_around_image>")

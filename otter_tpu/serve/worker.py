@@ -240,6 +240,46 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
     return stream_fn
 
 
+def make_idefics_stream_fn(engine, tokenizer, cfg, *,
+                           stream_interval: int = 2):
+    """Streaming bridge for the IDEFICS family: stills are normalized with
+    the IDEFICS mean/std and stacked along N ([B, N, C, H, W]); the prompt
+    follows the idefics-instruct chat contract (serve/conversation.py
+    `idefics_instruct`). Generation stops at <end_of_utterance>/eos."""
+    import jax.numpy as jnp
+    from otter_tpu.data.templates import (IDEFICS_STANDARD_MEAN,
+                                          IDEFICS_STANDARD_STD)
+
+    patch_size = cfg.vision.image_size
+
+    def stream_fn(params: dict) -> Iterator[str]:
+        prompt = params["prompt"]
+        vision_x, _ = decode_media_to_vision_x(
+            params.get("images"), patch_size=patch_size,
+            mean=IDEFICS_STANDARD_MEAN, std=IDEFICS_STANDARD_STD)
+        if vision_x is None:
+            vision_x = np.zeros((1, 1, 1, 3, patch_size, patch_size),
+                                np.float32)
+        # [1, T, F, C, H, W] -> [1, N, C, H, W] (idefics has no frame axis)
+        vision_x = vision_x.reshape((1, -1) + vision_x.shape[3:])
+        gen = _parse_gen_kwargs(params.get("generation_kwargs", {}))
+        enc = tokenizer(prompt, return_tensors="np")
+        lang_x = enc["input_ids"].astype(np.int32)
+        text, pending = "", []
+        for i, tok in enumerate(engine.stream_generate(
+                jnp.asarray(vision_x), lang_x, gen=gen)):
+            pending.append(tok)
+            if (i + 1) % stream_interval == 0:
+                text += tokenizer.decode(pending, skip_special_tokens=True)
+                pending = []
+                yield text
+        if pending:
+            text += tokenizer.decode(pending, skip_special_tokens=True)
+        yield text
+
+    return stream_fn
+
+
 def build_app(worker: ModelWorker):
     from aiohttp import web
 
@@ -272,6 +312,51 @@ def build_app(worker: ModelWorker):
     return app
 
 
+def _run_idefics_worker(args):
+    """Host an HF IdeficsForVisionText2Text checkpoint (the model family
+    the reference trains via instruction_following.py:331-427 and serves
+    through its demo endpoints)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aiohttp import web
+    from flax import traverse_util
+    from transformers import AutoTokenizer
+    from otter_tpu.config import idefics9b
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.convert import (hf_to_flax, idefics_rules,
+                                          load_state_dict)
+    from otter_tpu.models.idefics import IdeficsVLM
+
+    cfg = idefics9b()
+    cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
+             "int8": jnp.bfloat16}[args.load_bit]
+    if args.load_bit == "int8":
+        cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
+    model = IdeficsVLM(cfg, dtype=dtype)
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    sd = load_state_dict(args.checkpoint)
+    flat = hf_to_flax(sd, cfg, rules=idefics_rules(cfg), dtype=np.float32)
+    params = {"params": traverse_util.unflatten_dict(flat, sep="/")}
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else
+        jnp.asarray(x), params)
+    if args.load_bit == "int8":
+        from otter_tpu.ops.quant import quantize_params
+        params = {"params": quantize_params(params["params"])}
+    engine = OtterGenerator(model, params, cfg)
+    stream_fn = make_idefics_stream_fn(engine, tokenizer, cfg)
+    addr = args.worker_address or f"http://localhost:{args.port}"
+    worker = ModelWorker(
+        controller_addr=args.controller_address, worker_addr=addr,
+        model_name=args.model_name, stream_fn=stream_fn,
+        limit_model_concurrency=args.limit_model_concurrency,
+        no_register=args.no_register)
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
 def main():
     import argparse
     from aiohttp import web
@@ -285,6 +370,10 @@ def main():
                    help="HF-format Otter checkpoint dir/file")
     from otter_tpu.config import PRESETS
     p.add_argument("--config", default="mpt7b", choices=sorted(PRESETS))
+    p.add_argument("--model-family", default="otter",
+                   choices=["otter", "idefics"],
+                   help="otter: Flamingo-style VLM presets; idefics: HF "
+                        "IdeficsForVisionText2Text checkpoints")
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--limit-model-concurrency", type=int, default=5)
     p.add_argument("--load-bit", default="bf16",
@@ -307,6 +396,9 @@ def main():
     from otter_tpu.runtime.timing import enable_compile_cache
 
     enable_compile_cache()
+    if args.model_family == "idefics":
+        _run_idefics_worker(args)
+        return
     cfg = cfgmod.PRESETS[args.config]()
     # serving default: route long caches through the Pallas decode kernel
     cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))

@@ -230,3 +230,37 @@ def test_idefics_adapter_tiny(rng):
     assert isinstance(out, str)
     score = adapter.eval_forward("what is this?", "a thing", img)
     assert np.isfinite(score)
+
+
+@pytest.mark.slow
+def test_idefics_adapter_generate_batch(rng):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from otter_tpu.config import idefics_tiny
+    from otter_tpu.benchmarks.models.idefics import Idefics
+    from otter_tpu.models.idefics import IdeficsVLM
+    from helpers import TinyTokenizer
+
+    class IdeficsTok(TinyTokenizer):
+        specials = {"<image>": 126, "<fake_token_around_image>": 127,
+                    "<end_of_utterance>": 124, "<answer>": 125, "<PAD>": 0}
+
+        def _tok(self, text):
+            ids = super()._tok(text)
+            return [i if i < 120 else (i % 100) + 10 for i in ids]
+
+    cfg = idefics_tiny()
+    model = IdeficsVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 3, 28, 28), jnp.float32)
+    ids = jnp.asarray(np.asarray([[1, 126, 5, 6]], np.int32))
+    params = model.init(jax.random.PRNGKey(0), vx, ids)
+    adapter = Idefics(model=model, tok=IdeficsTok(), cfg=cfg, params=params,
+                      patch_size=28, max_new_tokens=3)
+    imgs = [Image.fromarray((rng.random((28, 28, 3)) * 255)
+                            .astype(np.uint8)) for _ in range(2)]
+    outs = adapter.generate_batch(
+        ["User:what<end_of_utterance>\nAssistant:",
+         "User:and a longer second question<end_of_utterance>\nAssistant:"],
+        imgs)
+    assert len(outs) == 2 and all(isinstance(t, str) for t in outs)

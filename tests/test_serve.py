@@ -6,6 +6,7 @@ test_message.py smoke-test pattern)."""
 import base64
 import io
 import json
+import os
 import socket
 import threading
 import time
@@ -157,3 +158,71 @@ def test_conversation_prompt():
     p = conv.get_prompt()
     assert "what is this?" in p
     assert conv.to_gradio_chatbot()[0][0].endswith("<answer>")
+
+
+def test_idefics_conversation_template():
+    from otter_tpu.serve.conversation import (IDEFICS_IMAGE_PLACEHOLDER,
+                                              conv_templates)
+    conv = conv_templates["idefics"].copy()
+    conv.append_message(conv.roles[0], f"{IDEFICS_IMAGE_PLACEHOLDER}hi")
+    conv.append_message(conv.roles[1], None)
+    assert conv.get_prompt() == (
+        "User:<fake_token_around_image><image><fake_token_around_image>hi"
+        "<end_of_utterance>\nAssistant:")
+    conv.messages[-1][1] = "hello"
+    conv.append_message(conv.roles[0], "more")
+    conv.append_message(conv.roles[1], None)
+    assert conv.get_prompt() == (
+        "User:<fake_token_around_image><image><fake_token_around_image>hi"
+        "<end_of_utterance>\nAssistant:hello<end_of_utterance>\n"
+        "User:more<end_of_utterance>\nAssistant:")
+
+
+@pytest.mark.slow
+def test_idefics_worker_streaming_http():
+    """Full HTTP streaming through a REAL tiny IdeficsVLM: the idefics
+    stream fn (IDEFICS normalization, [B,N,C,H,W] vision, instruct prompt
+    contract) behind the standard worker protocol."""
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    import requests
+    from PIL import Image
+
+    from otter_tpu.config import idefics_tiny
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.idefics import IdeficsVLM
+    from otter_tpu.serve.worker import make_idefics_stream_fn
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    cfg = idefics_tiny()
+    model = IdeficsVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 3, 28, 28), jnp.float32)
+    ids = jnp.asarray(np.asarray([[1, 5, 6]], np.int32))
+    params = model.init(jax.random.PRNGKey(0), vx, ids)
+    engine = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    stream_fn = make_idefics_stream_fn(engine, TinyTokenizer(), cfg)
+
+    worker = ModelWorker(controller_addr="http://none",
+                         worker_addr="http://none",
+                         model_name="idefics", stream_fn=stream_fn,
+                         no_register=True)
+    port = _free_port()
+    _run_app(worker_app(worker), port)
+
+    img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+    r = requests.post(
+        f"http://127.0.0.1:{port}/worker_generate_stream",
+        json={"prompt": "User:hi<end_of_utterance>\nAssistant:",
+              "images": [b64],
+              "generation_kwargs": {"max_new_tokens": 4}},
+        stream=True, timeout=600)
+    chunks = [json.loads(c) for c in r.content.split(b"\0") if c]
+    assert chunks and chunks[-1]["error_code"] == 0, chunks
