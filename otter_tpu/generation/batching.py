@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -79,6 +80,10 @@ class _Slot:
     emitted: int = 0        # generated tokens so far
     media: int = 0          # <image> tokens in the prompt
     last_tok: int = 0
+    # per-request latency accounting
+    t_submit: float = 0.0   # request enqueue time
+    t_admit: float = 0.0    # prefill+insert done (first token available)
+    t_first: float = 0.0    # first token delivered to the consumer
 
 
 class ContinuousBatcher:
@@ -90,7 +95,7 @@ class ContinuousBatcher:
                  cache_len: int = 2048,
                  buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024),
                  max_media: int = 1, cache_dtype=jnp.bfloat16,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, max_admits_per_iter: int = 1):
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -99,6 +104,12 @@ class ContinuousBatcher:
         self.buckets = tuple(sorted(buckets))
         self.max_media = max_media
         self.cache_dtype = cache_dtype
+        # admission under decode pressure: a prefill stalls every active
+        # stream for one iteration, so while anything is decoding at most
+        # this many requests are admitted per loop iteration (idle pool ->
+        # drain the queue freely)
+        self.max_admits_per_iter = max_admits_per_iter
+        self._completed: List[dict] = []   # per-request latency records
 
         self._slots = [_Slot() for _ in range(num_slots)]
         self._pending: "queue.Queue[tuple]" = queue.Queue()
@@ -128,7 +139,7 @@ class ContinuousBatcher:
         gen = gen or GenerationConfig()
         out: "queue.Queue" = queue.Queue()
         self._pending.put((np.asarray(vision_x), np.asarray(lang_x),
-                           gen, out))
+                           gen, out, time.monotonic()))
         self._work.set()
 
         def stream():
@@ -225,7 +236,8 @@ class ContinuousBatcher:
 
     # ── scheduler ─────────────────────────────────────────────────────
 
-    def _admit_one(self, vision_x, lang_x, gen, out) -> bool:
+    def _admit_one(self, vision_x, lang_x, gen, out,
+                   t_submit: float = 0.0) -> bool:
         free = next((i for i, s in enumerate(self._slots)
                      if not s.active), None)
         if free is None:
@@ -273,17 +285,70 @@ class ContinuousBatcher:
         slot.media = media
         slot.last_tok = tok
         slot.active = True
+        slot.t_submit = t_submit
+        slot.t_admit = slot.t_first = time.monotonic()
         if tok == eos or gen.max_new_tokens <= 1:
             if tok != eos:
                 out.put(tok)
             out.put(None)
-            slot.active = False
+            self._finish(slot)
         else:
             out.put(tok)
         return True
 
+    def _finish(self, slot: "_Slot"):
+        """Close out a request and record its latency stats."""
+        slot.active = False
+        now = time.monotonic()
+        decode_s = max(now - slot.t_first, 1e-9)
+        with self._lock:
+            self._completed.append({
+                "prompt_tokens": slot.real_len,
+                "new_tokens": slot.emitted,
+                "ttft_s": (slot.t_first - slot.t_submit
+                           if slot.t_submit else 0.0),
+                "queue_s": (slot.t_admit - slot.t_submit
+                            if slot.t_submit else 0.0),
+                "decode_tok_s": (slot.emitted - 1) / decode_s,
+                "total_s": now - (slot.t_submit or slot.t_first),
+            })
+            if len(self._completed) > 1024:
+                del self._completed[: len(self._completed) - 1024]
+
+    def stats(self) -> dict:
+        """Aggregate serving metrics: queue depth, active slots, and
+        percentiles over the completed-request latency records (the
+        per-slot observability the reference's semaphore worker lacks)."""
+        with self._lock:
+            records = list(self._completed)
+            active = sum(s.active for s in self._slots)
+        out = {
+            "active_slots": active,
+            "num_slots": self.n,
+            "queue_depth": self._pending.qsize(),
+            "completed": len(records),
+        }
+        if records:
+            ttfts = sorted(r["ttft_s"] for r in records)
+            rates = sorted(r["decode_tok_s"] for r in records)
+
+            def pct(xs, p):
+                return xs[min(len(xs) - 1, int(p * len(xs)))]
+
+            out.update({
+                "ttft_p50_s": pct(ttfts, 0.5),
+                "ttft_p90_s": pct(ttfts, 0.9),
+                "decode_tok_s_p50": pct(rates, 0.5),
+                "recent": records[-8:],
+            })
+        return out
+
     def _admit(self):
+        decoding = any(s.active for s in self._slots)
+        admitted = 0
         while not self._pending.empty():
+            if decoding and admitted >= self.max_admits_per_iter:
+                return
             if not any(not s.active for s in self._slots):
                 return
             try:
@@ -291,6 +356,7 @@ class ContinuousBatcher:
             except queue.Empty:
                 return
             self._admit_one(*item)
+            admitted += 1
 
     def _step(self):
         with self._lock:
@@ -348,12 +414,12 @@ class ContinuousBatcher:
             s.emitted += 1
             if tok == eos:
                 s.out.put(None)
-                s.active = False
+                self._finish(s)
             elif s.emitted >= s.gen.max_new_tokens \
                     or s.written >= self.L:
                 s.out.put(tok)
                 s.out.put(None)
-                s.active = False
+                self._finish(s)
             else:
                 s.out.put(tok)
                 s.last_tok = tok

@@ -122,8 +122,14 @@ class ModelWorker:
         return max(self._active - self.limit, 0) + self._active
 
     def get_status(self) -> dict:
-        return {"model_names": [self.model_name], "speed": 1,
-                "queue_length": self.get_queue_length()}
+        status = {"model_names": [self.model_name], "speed": 1,
+                  "queue_length": self.get_queue_length()}
+        stats = getattr(self.stream_fn, "stats", None)
+        if stats is not None:
+            # continuous-batching workers report per-request latency
+            # aggregates (TTFT/decode-rate percentiles, queue depth)
+            status["batching"] = stats()
+        return status
 
     # ── generation ──────────────────────────────────────────────────
 
@@ -193,6 +199,7 @@ def make_batched_stream_fn(batcher, tokenizer, cfg, *,
             text += tokenizer.decode(pending, skip_special_tokens=True)
         yield text
 
+    stream_fn.stats = batcher.stats
     return stream_fn
 
 

@@ -149,3 +149,37 @@ def test_per_row_cache_pos_matches_scalar(rng):
                                   **args)
     np.testing.assert_allclose(np.asarray(lg_vector), np.asarray(lg_scalar),
                                atol=1e-5)
+
+
+def test_stats_and_admission_cap(rng):
+    """Per-request latency records accumulate; admission under decode
+    pressure is capped per iteration (max_admits_per_iter)."""
+    cfg, model, params, _, _ = _tiny(rng)
+    reqs = []
+    for s in (8, 10, 12):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, 0] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        reqs.append((vx, ids))
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=3,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                max_admits_per_iter=1)
+    try:
+        streams = [batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=4))
+                   for vx, ids in reqs]
+        outs = [list(s) for s in streams]
+        stats = batcher.stats()
+    finally:
+        batcher.shutdown()
+    assert all(len(o) >= 1 for o in outs)
+    assert stats["completed"] == 3
+    assert stats["num_slots"] == 3 and stats["active_slots"] == 0
+    assert stats["ttft_p50_s"] > 0
+    for rec in stats["recent"]:
+        assert rec["new_tokens"] >= 1
+        assert rec["ttft_s"] >= rec["queue_s"] >= 0
+        assert rec["total_s"] >= rec["ttft_s"]
