@@ -150,3 +150,35 @@ conv_templates = {"otter": otter_v1, "open_flamingo": open_flamingo_v1,
 
 IDEFICS_IMAGE_PLACEHOLDER = ("<fake_token_around_image><image>"
                              "<fake_token_around_image>")
+
+
+def render_prompt(template: str, messages: List[List[Optional[str]]],
+                  with_image: bool = False) -> str:
+    """Multi-turn chat -> model prompt, per family contract.
+
+    messages: [[user_text, assistant_text_or_None], ...]; the last turn's
+    assistant side is None (to be generated). The image placeholder goes on
+    the FIRST user turn (the reference UIs attach the image to the first
+    message, gradio_web_server.py:302-430).
+
+    otter:   "<image>User: {q} GPT:<answer>{a}<|endofchunk|>User: ..."
+             (the demo prompt contract, demos/interactive/otter_image.py:52)
+    idefics: "User:<fake_token_around_image><image><fake_token_around_image>
+             {q}<end_of_utterance>\\nAssistant:{a}<end_of_utterance>\\n..."
+    """
+    if template == "idefics":
+        conv = conv_templates["idefics"].copy()
+        for i, (q, a) in enumerate(messages):
+            img = IDEFICS_IMAGE_PLACEHOLDER if (with_image and i == 0) else ""
+            conv.append_message(conv.roles[0], f"{img}{q}")
+            conv.append_message(conv.roles[1], a)
+        return conv.get_prompt()
+    # otter / open_flamingo style
+    parts = []
+    for i, (q, a) in enumerate(messages):
+        img = "<image>" if (with_image and i == 0) else ""
+        turn = f"{img}User: {q} GPT:<answer>"
+        if a is not None:
+            turn += f"{a}<|endofchunk|>"
+        parts.append(turn)
+    return "".join(parts)

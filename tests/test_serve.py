@@ -226,3 +226,80 @@ def test_idefics_worker_streaming_http():
         stream=True, timeout=600)
     chunks = [json.loads(c) for c in r.content.split(b"\0") if c]
     assert chunks and chunks[-1]["error_code"] == 0, chunks
+
+
+def test_render_prompt_contracts():
+    from otter_tpu.serve.conversation import render_prompt
+    # single-turn otter contract (demos/interactive/otter_image.py:52)
+    assert render_prompt("otter", [["what is this?", None]],
+                         with_image=True) == \
+        "<image>User: what is this? GPT:<answer>"
+    # multi-turn otter: prior turns closed with <|endofchunk|>
+    assert render_prompt("otter", [["q1", "a1"], ["q2", None]],
+                         with_image=True) == \
+        ("<image>User: q1 GPT:<answer>a1<|endofchunk|>"
+         "User: q2 GPT:<answer>")
+    # idefics instruct contract
+    assert render_prompt("idefics", [["hi", None]], with_image=True) == \
+        ("User:<fake_token_around_image><image><fake_token_around_image>hi"
+         "<end_of_utterance>\nAssistant:")
+
+
+def test_web_ui_endpoints(tmp_path):
+    """The upgraded web app: /list_models via the controller, multi-turn
+    /http_bot with server-side prompt rendering, and vote/conv JSONL
+    logging (parity with the Gradio server's vote_last_response and conv
+    logs, gradio_web_server.py:46-49,108-118)."""
+    import requests
+    from otter_tpu.serve.web import build_app as web_build
+
+    seen_prompts = []
+
+    def dummy_stream(params):
+        seen_prompts.append(params["prompt"])
+        yield "the answer"
+
+    wport, cport, gport = _free_port(), _free_port(), _free_port()
+    worker_addr = f"http://127.0.0.1:{wport}"
+    worker = ModelWorker(controller_addr="", worker_addr=worker_addr,
+                         model_name="otter", stream_fn=dummy_stream,
+                         no_register=True)
+    _run_app(worker_app(worker), wport)
+    c = Controller("lottery")
+    c.register_worker(worker_addr, False,
+                      {"model_names": ["otter"], "speed": 1,
+                       "queue_length": 0})
+    _run_app(controller_app(c), cport)
+    log_dir = str(tmp_path / "logs")
+    _run_app(web_build(f"http://127.0.0.1:{cport}", log_dir=log_dir), gport)
+    base = f"http://127.0.0.1:{gport}"
+
+    # landing page + model listing
+    assert "Otter-TPU Chat" in requests.get(base + "/", timeout=5).text
+    assert requests.get(base + "/list_models",
+                        timeout=5).json()["models"] == ["otter"]
+
+    # multi-turn http_bot: prompt rendered server-side from messages
+    r = requests.post(base + "/http_bot", json={
+        "model": "otter", "template": "otter",
+        "messages": [["q1", "a1"], ["q2", None]], "images": ["x"],
+        "generation_kwargs": {"max_new_tokens": 4}}, stream=True,
+        timeout=30)
+    chunks = [json.loads(x) for x in r.content.split(b"\0") if x]
+    assert chunks[-1]["error_code"] == 0
+    assert chunks[-1]["text"] == "the answer"
+    assert seen_prompts[-1] == ("<image>User: q1 GPT:<answer>a1"
+                                "<|endofchunk|>User: q2 GPT:<answer>")
+
+    # vote + conv logs on disk
+    r = requests.post(base + "/vote", json={
+        "type": "upvote", "model": "otter",
+        "messages": [["q", "a"]]}, timeout=5)
+    assert r.json()["ok"]
+    files = os.listdir(log_dir)
+    assert any("votes" in f for f in files) and \
+        any("conv" in f for f in files)
+    vote_file = [f for f in files if "votes" in f][0]
+    rec = json.loads(open(os.path.join(log_dir, vote_file)).read()
+                     .splitlines()[0])
+    assert rec["type"] == "upvote" and "tstamp" in rec
