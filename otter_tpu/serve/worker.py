@@ -287,6 +287,106 @@ def make_idefics_stream_fn(engine, tokenizer, cfg, *,
     return stream_fn
 
 
+def make_fuyu_stream_fn(model, params, processor, cfg, tokenizer, *,
+                        stream_interval: int = 2, resolution=None):
+    """Streaming bridge for Fuyu/OtterHD (the reference's Flask deploy
+    endpoint, `pipeline/serve/deploy/otterhd_endpoint.py:62-98`, rebuilt on
+    the worker protocol): variable-resolution patching through the
+    bucketed FuyuProcessor, jitted prefill + donated-cache decode steps,
+    box/point coordinate post-processing on the final text."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from otter_tpu.generation import sampling
+    from otter_tpu.models.decoder import init_cache
+
+    prefill_fns: dict = {}
+    step_fns: dict = {}
+    dtype = model.dtype
+
+    def get_prefill(s, p, cache_len):
+        key = (s, p, cache_len)
+        if key not in prefill_fns:
+            def prefill(params, ids, patches, pidx, mask):
+                cache = init_cache(cfg.text, 1, cache_len, dtype)
+                positions = jnp.clip(jnp.cumsum(mask, -1) - 1, 0,
+                                     None).astype(jnp.int32)
+                logits, cache = model.apply(
+                    params, ids, image_patches=patches,
+                    image_patches_indices=pidx, attention_mask=mask,
+                    positions=positions, cache=cache)
+                return logits[:, -1], cache
+            prefill_fns[key] = jax.jit(prefill)
+        return prefill_fns[key]
+
+    def get_step(cache_len):
+        if cache_len not in step_fns:
+            def step(params, tok, cache, cache_pos, kv_valid, positions):
+                logits, cache = model.apply(
+                    params, tok, cache=cache, cache_pos=cache_pos,
+                    kv_valid=kv_valid, positions=positions)
+                return logits[:, -1], cache
+            step_fns[cache_len] = jax.jit(step, donate_argnums=(2,))
+        return step_fns[cache_len]
+
+    def stream_fn(http_params: dict) -> Iterator[str]:
+        prompt = http_params["prompt"]
+        gen = _parse_gen_kwargs(http_params.get("generation_kwargs", {}))
+        imgs = http_params.get("images") or []
+        image = None
+        if imgs:
+            b64 = imgs[0][0] if isinstance(imgs[0], list) else imgs[0]
+            image = Image.open(io.BytesIO(
+                base64.urlsafe_b64decode(b64))).convert("RGB")
+        batch = processor([prompt], [image] if image is not None else None,
+                          target_resolution=resolution, left_pad=True)
+        ids = np.asarray(batch["input_ids"], np.int32)
+        b, s = ids.shape
+        cache_len = -(-(s + gen.max_new_tokens) // 128) * 128
+        logits, cache = get_prefill(
+            s, batch["image_patches"].shape[1], cache_len)(
+            params, jnp.asarray(ids),
+            jnp.asarray(batch["image_patches"]),
+            jnp.asarray(batch["image_patches_indices"]),
+            jnp.asarray(batch["attention_mask"]))
+        real_len = int(batch["attention_mask"].sum())
+        kv_valid = np.concatenate(
+            [batch["attention_mask"].astype(bool),
+             np.zeros((b, cache_len - s), bool)], -1)
+        kv_valid = jnp.asarray(kv_valid)
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else tokenizer.eos_token_id
+        rng = jax.random.PRNGKey(0)
+        step = get_step(cache_len)
+        out_ids: list = []
+        text = ""
+        tok = None
+        for t in range(gen.max_new_tokens):
+            rng, sub = jax.random.split(rng)
+            tok = int(sampling.sample_token(
+                sub, logits, do_sample=gen.do_sample,
+                temperature=gen.temperature, top_k=gen.top_k,
+                top_p=gen.top_p)[0])
+            if tok == eos:
+                break
+            out_ids.append(tok)
+            if len(out_ids) % stream_interval == 0:
+                text = tokenizer.decode(out_ids, skip_special_tokens=True)
+                yield text
+            if t == gen.max_new_tokens - 1:
+                break
+            kv_valid = kv_valid | (jnp.arange(cache_len)[None] == s + t)
+            logits, cache = step(
+                params, jnp.full((b, 1), tok, jnp.int32), cache, s + t,
+                kv_valid, jnp.full((b, 1), real_len + t, jnp.int32))
+        text = tokenizer.decode(out_ids, skip_special_tokens=True)
+        # bbox/point token spans -> scaled coordinates
+        yield processor.post_process_box_coordinates(text)
+
+    return stream_fn
+
+
 def build_app(worker: ModelWorker):
     from aiohttp import web
 
@@ -364,6 +464,53 @@ def _run_idefics_worker(args):
     web.run_app(build_app(worker), host=args.host, port=args.port)
 
 
+def _run_fuyu_worker(args):
+    """Host a Fuyu/OtterHD checkpoint behind the worker protocol (the
+    reference's standalone OtterHD Flask endpoint, deploy/otterhd_endpoint
+    .py:62-98, gains controller registration/heartbeat and streaming)."""
+    import jax.numpy as jnp
+    from aiohttp import web
+    from flax import traverse_util
+    from transformers import AutoTokenizer
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.data.fuyu_processor import (FuyuImageProcessor,
+                                               FuyuProcessor)
+    from otter_tpu.models.convert import fuyu_hf_to_flax, load_state_dict
+    from otter_tpu.models.fuyu import FuyuVLM
+
+    cfg = FuyuConfig()
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
+             "int8": jnp.bfloat16}[args.load_bit]
+    if args.load_bit == "int8":
+        cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    processor = FuyuProcessor(
+        tokenizer, FuyuImageProcessor(patch_size=cfg.patch_size),
+        image_placeholder_id=cfg.image_placeholder_id,
+        image_newline_id=cfg.image_newline_id)
+    model = FuyuVLM(cfg, dtype=dtype)
+    converted = fuyu_hf_to_flax(load_state_dict(args.checkpoint),
+                                dtype=dtype)
+    params = {"params": traverse_util.unflatten_dict(
+        {k: jnp.asarray(v) for k, v in converted.items()}, sep="/")}
+    if args.load_bit == "int8":
+        from otter_tpu.ops.quant import quantize_params
+        params = {"params": quantize_params(params["params"])}
+    resolution = None
+    if args.fuyu_resolution:
+        h, w = args.fuyu_resolution.lower().split("x")
+        resolution = (int(h), int(w))
+    stream_fn = make_fuyu_stream_fn(model, params, processor, cfg,
+                                    tokenizer, resolution=resolution)
+    addr = args.worker_address or f"http://localhost:{args.port}"
+    worker = ModelWorker(
+        controller_addr=args.controller_address, worker_addr=addr,
+        model_name=args.model_name, stream_fn=stream_fn,
+        limit_model_concurrency=args.limit_model_concurrency,
+        no_register=args.no_register)
+    web.run_app(build_app(worker), host=args.host, port=args.port)
+
+
 def main():
     import argparse
     from aiohttp import web
@@ -378,9 +525,13 @@ def main():
     from otter_tpu.config import PRESETS
     p.add_argument("--config", default="mpt7b", choices=sorted(PRESETS))
     p.add_argument("--model-family", default="otter",
-                   choices=["otter", "idefics"],
+                   choices=["otter", "idefics", "fuyu"],
                    help="otter: Flamingo-style VLM presets; idefics: HF "
-                        "IdeficsForVisionText2Text checkpoints")
+                        "IdeficsForVisionText2Text checkpoints; fuyu: "
+                        "Fuyu/OtterHD (adept/fuyu-8b-style) checkpoints")
+    p.add_argument("--fuyu-resolution", default=None,
+                   help="fixed HxW (e.g. 448x448) instead of bucketed "
+                        "variable resolution (OtterHD serves high-res)")
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--limit-model-concurrency", type=int, default=5)
     p.add_argument("--load-bit", default="bf16",
@@ -405,6 +556,9 @@ def main():
     enable_compile_cache()
     if args.model_family == "idefics":
         _run_idefics_worker(args)
+        return
+    if args.model_family == "fuyu":
+        _run_fuyu_worker(args)
         return
     cfg = cfgmod.PRESETS[args.config]()
     # serving default: route long caches through the Pallas decode kernel

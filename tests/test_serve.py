@@ -303,3 +303,66 @@ def test_web_ui_endpoints(tmp_path):
     rec = json.loads(open(os.path.join(log_dir, vote_file)).read()
                      .splitlines()[0])
     assert rec["type"] == "upvote" and "tstamp" in rec
+
+
+@pytest.mark.slow
+def test_fuyu_worker_streaming_http(tmp_path):
+    """Full HTTP streaming through a REAL tiny FuyuVLM: bucketed
+    variable-resolution patching, jitted prefill + donated-cache steps,
+    coordinate post-processing — the OtterHD deploy path
+    (otterhd_endpoint.py:62-98) on the worker protocol."""
+    import io as _io
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import requests
+    from PIL import Image
+
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.data.fuyu_processor import (FuyuImageProcessor,
+                                               FuyuProcessor)
+    from otter_tpu.models.fuyu import FuyuVLM
+    from otter_tpu.serve.worker import make_fuyu_stream_fn
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    class FuyuTok(TinyTokenizer):
+        specials = dict(TinyTokenizer.specials)
+        specials["\x04"] = 250
+
+    cfg = FuyuConfig.tiny()
+    tok = FuyuTok()
+    processor = FuyuProcessor(
+        tok, FuyuImageProcessor(patch_size=cfg.patch_size,
+                                buckets=((28, 28),)),
+        image_placeholder_id=cfg.image_placeholder_id,
+        image_newline_id=cfg.image_newline_id)
+    model = FuyuVLM(cfg, dtype=jnp.float32)
+    batch = processor(["hi \x04"], [Image.fromarray(
+        np.zeros((28, 28, 3), np.uint8))], left_pad=True)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["input_ids"]),
+        image_patches=jnp.asarray(batch["image_patches"]),
+        image_patches_indices=jnp.asarray(batch["image_patches_indices"]))
+    stream_fn = make_fuyu_stream_fn(model, params, processor, cfg, tok)
+
+    worker = ModelWorker(controller_addr="http://none",
+                         worker_addr="http://none",
+                         model_name="otterhd", stream_fn=stream_fn,
+                         no_register=True)
+    port = _free_port()
+    _run_app(worker_app(worker), port)
+
+    img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+    r = requests.post(
+        f"http://127.0.0.1:{port}/worker_generate_stream",
+        json={"prompt": "describe \x04", "images": [b64],
+              "generation_kwargs": {"max_new_tokens": 5}},
+        stream=True, timeout=600)
+    chunks = [json.loads(c) for c in r.content.split(b"\0") if c]
+    assert chunks and chunks[-1]["error_code"] == 0, chunks
