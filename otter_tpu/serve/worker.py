@@ -171,17 +171,19 @@ def _parse_gen_kwargs(gk: dict):
 
 
 def make_batched_stream_fn(batcher, tokenizer, cfg, *,
-                           stream_interval: int = 2):
+                           stream_interval: int = 2, mean=None, std=None):
     """Streaming bridge over the ContinuousBatcher: concurrent requests
     decode in one shared step (aggregate tok/s scales with concurrency
-    instead of queueing behind the reference's semaphore)."""
+    instead of queueing behind the reference's semaphore). mean/std select
+    the family normalization (FLAMINGO default; IDEFICS for idefics)."""
     patch_size = cfg.vision.image_size
 
     def stream_fn(params: dict):
         import numpy as np
         prompt = params["prompt"]
         vision_x = decode_images_to_vision_x(params.get("images"),
-                                             patch_size=patch_size)
+                                             patch_size=patch_size,
+                                             mean=mean, std=std)
         if vision_x is None:
             vision_x = np.zeros((1, 1, 1, 3, patch_size, patch_size),
                                 np.float32)
@@ -453,8 +455,19 @@ def _run_idefics_worker(args):
     if args.load_bit == "int8":
         from otter_tpu.ops.quant import quantize_params
         params = {"params": quantize_params(params["params"])}
-    engine = OtterGenerator(model, params, cfg)
-    stream_fn = make_idefics_stream_fn(engine, tokenizer, cfg)
+    if args.continuous_batching:
+        from otter_tpu.data.templates import (IDEFICS_STANDARD_MEAN,
+                                              IDEFICS_STANDARD_STD)
+        from otter_tpu.generation.batching import ContinuousBatcher
+        batcher = ContinuousBatcher(model, params, cfg,
+                                    num_slots=args.num_slots,
+                                    cache_len=args.cache_len)
+        stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg,
+                                           mean=IDEFICS_STANDARD_MEAN,
+                                           std=IDEFICS_STANDARD_STD)
+    else:
+        engine = OtterGenerator(model, params, cfg)
+        stream_fn = make_idefics_stream_fn(engine, tokenizer, cfg)
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
         controller_addr=args.controller_address, worker_addr=addr,

@@ -183,3 +183,25 @@ def test_stats_and_admission_cap(rng):
         assert rec["new_tokens"] >= 1
         assert rec["ttft_s"] >= rec["queue_s"] >= 0
         assert rec["total_s"] >= rec["ttft_s"]
+
+
+def test_idefics_through_batcher(rng):
+    """The slot-pool batcher is model-family agnostic: IdeficsVLM decodes
+    through the same per-row cache_pos path."""
+    from otter_tpu.config import idefics_tiny
+    from otter_tpu.models.idefics import IdeficsVLM
+    cfg = idefics_tiny()
+    model = IdeficsVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 3, 28, 28), jnp.float32)
+    ids = np.asarray(rng.integers(5, 100, (1, 8)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    params = model.init(jax.random.PRNGKey(0), vx, jnp.asarray(ids))
+    b = ContinuousBatcher(model, params, cfg, num_slots=2, cache_len=64,
+                          buckets=(16,), cache_dtype=jnp.float32)
+    try:
+        streams = [b.submit(vx, ids, GenerationConfig(max_new_tokens=4))
+                   for _ in range(2)]
+        outs = [list(s) for s in streams]
+    finally:
+        b.shutdown()
+    assert len(outs[0]) == 4 and outs[0] == outs[1]
