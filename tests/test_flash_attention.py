@@ -157,3 +157,26 @@ def test_bf16_fwd_close(rng):
                         v.astype(jnp.float32), causal=True)
     np.testing.assert_allclose(out.astype(np.float32), ref, atol=3e-2,
                                rtol=3e-2)
+
+
+def test_rect_blocks_triangle_grid(rng):
+    """bq != bk exercises the non-square triangle enumeration (fwd row-major
+    maps, dkv column-major maps, dq last_k store gating)."""
+    q, k, v = _mk(rng, 1, 2, 512, 512, 64)
+    rect = BlockSizes(block_q=256, block_k=128,
+                      block_q_dkv=256, block_k_dkv=128,
+                      block_q_dq=128, block_k_dq=256)
+
+    def f(q, k, v):
+        return flash_attention(q, k, v, causal=True, interpret=True,
+                               block_sizes=rect).astype(jnp.float32).sum()
+
+    def f_ref(q, k, v):
+        return mha_reference(q, k, v, causal=True).astype(
+            jnp.float32).sum()
+
+    got = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-3, rtol=2e-3)
