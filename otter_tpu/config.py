@@ -137,6 +137,9 @@ class TextConfig(_JsonMixin):
     # cached decoding: False | True | "auto" (kernel when cache len >= 1024,
     # where it measures −20% step time; einsum below — see BENCH_NOTES.md)
     decode_kernel: Any = False
+    # fused int8 decode layer tail (out-proj + residual + norm_2 + MLP in
+    # one phased pallas_call) — see ops/quant.int8_attn_tail
+    fused_tail: bool = False
     # extra rows appended to the embedding for special tokens (<image>, <answer>,
     # <|endofchunk|>, <PAD>); reference resizes llama embeddings
     # (`modeling_otter.py:573-575`).

@@ -368,10 +368,12 @@ class DecoderLayer(nn.Module):
             tokens *= sz
         # fused decode layer tail: out-proj + residual + norm_2 + MLP in
         # ONE pallas_call (9*d^2 int8 bytes per launch; MPT-style tail).
-        # MEASURED SLOWER than tail-unfused on the 7B (555 vs 601 tok/s
-        # steady-state): the d^2 resident out-proj block forces a 100MB
-        # scoped-vmem budget which degrades the stream double-buffering.
-        # Kept behind fused_tail=True for future revisits; default OFF.
+        # Two designs measured SLOWER than tail-unfused on the 7B:
+        # resident-wo (555 vs 601 tok/s — 100MB scoped vmem kills stream
+        # double-buffering) and the phased streaming redesign (614 vs 626 —
+        # XLA overlaps its own out-proj dot with neighboring work better
+        # than a monolithic kernel). Kept behind fused_tail for revisits;
+        # default OFF.
         if (self.fused_tail
                 and c.quant == "int8" and c.act == "gelu" and c.no_bias
                 and c.norm_type == "low_precision_layernorm"
@@ -514,7 +516,8 @@ class Decoder(nn.Module):
                     dtype=self.dtype, name=f"xattn_{i}")(
                         x, vis_latents, xattn_q_ids, xattn_kv_ids,
                         xattn_out_keep)
-            x, lc = layer_cls(c, self.dtype, name=f"layers_{i}")(
+            x, lc = layer_cls(c, self.dtype, fused_tail=c.fused_tail,
+                              name=f"layers_{i}")(
                 x, positions=positions, attn_ids=attn_ids, bias=bias,
                 cache=cur_cache, kv_valid=kv_valid, cache_pos=cache_pos,
                 layer=i)

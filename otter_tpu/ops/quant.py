@@ -183,10 +183,18 @@ def int8_attn_tail(attn_raw: jnp.ndarray, resid: jnp.ndarray,
         n    = LPLayerNorm(y) * norm_scale            (norm_2, f32 stats)
         out  = y + act((n @ w1q) * s1) @ w2q * s2     (MLP)
 
-    attn_raw [M, hd]; resid [M, D]; woq [hd, D] int8 (resident block — read
-    once); w1q [D, H], w2q [H, D] int8 streamed in H-blocks. One launch per
-    layer for 9*d^2 int8 bytes instead of an XLA dot (653 GB/s) + a
-    separate MLP kernel. MPT-style tail only (pre-norm, no-bias LN, GELU).
+    attn_raw [M, hd]; resid [M, D]; woq [hd, D] int8; w1q [D, H],
+    w2q [H, D] int8. One launch per layer for 9*d^2 int8 bytes instead of
+    an XLA dot (653 GB/s) + a separate MLP kernel.
+
+    PHASED grid (round 2 redesign): the first n_wo steps stream wo in
+    COLUMN blocks (each produces out[:, blk] + residual into scratch); the
+    norm runs once at the phase boundary; the remaining steps stream the
+    MLP H-blocks. The original design kept the whole d^2 wo block resident
+    in VMEM, which forced a 100 MB scoped-vmem budget and degraded stream
+    double-buffering (measured 601 -> 555 tok/s end-to-end). Here every
+    weight block is a streamed ~2 MB tile. MPT-style tail only (pre-norm,
+    no-bias LN, GELU).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -200,6 +208,11 @@ def int8_attn_tail(attn_raw: jnp.ndarray, resid: jnp.ndarray,
     bh = min(block_h, h)
     while h % bh:
         bh //= 2
+    bd = min(block_h, d)          # wo/resid column-block width
+    while d % bd:
+        bd //= 2
+    n_wo = d // bd
+    n_h = h // bh
     m_pad = max(8, -(-m // 8) * 8)
     if m_pad != m:
         attn_raw = jnp.pad(attn_raw, ((0, m_pad - m), (0, 0)))
@@ -227,8 +240,9 @@ def int8_attn_tail(attn_raw: jnp.ndarray, resid: jnp.ndarray,
                w2_ref, s2_ref, o_ref, base, normed, acc):
         j = pl.program_id(0)
 
-        @pl.when(j == 0)
-        def _():
+        @pl.when(j < n_wo)
+        def _phase_a():
+            # out-proj column block: out[:, blk] = a @ wo[:, blk] * so[blk]
             wo = wo_ref[...].astype(a_ref.dtype)
             out = lax.dot_general(
                 a_ref[...], wo, (((1,), (0,)), ((), ())),
@@ -237,42 +251,55 @@ def int8_attn_tail(attn_raw: jnp.ndarray, resid: jnp.ndarray,
             # residual + out in bf16 before the norm)
             y = (r_ref[...].astype(jnp.float32)
                  + out.astype(a_ref.dtype).astype(jnp.float32))
-            y = y.astype(a_ref.dtype)
-            base[...] = y
-            yf = y.astype(jnp.float32)
+            base[:, pl.dslice(j * bd, bd)] = y.astype(a_ref.dtype)
+
+        @pl.when(j == n_wo - 1)
+        def _norm():
+            yf = base[...].astype(jnp.float32)
             mean = jnp.mean(yf, axis=-1, keepdims=True)
             var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
             nrm = (yf - mean) * lax.rsqrt(var + eps) * ns_ref[...]
             normed[...] = nrm.astype(a_ref.dtype)
             acc[...] = jnp.zeros_like(acc)
 
-        w1 = w1_ref[...].astype(a_ref.dtype)
-        hblk = lax.dot_general(
-            normed[...], w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        hblk = act_fn(hblk * s1_ref[...])
-        w2 = w2_ref[...].astype(a_ref.dtype)
-        acc[...] += lax.dot_general(
-            hblk.astype(a_ref.dtype), w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        @pl.when(j >= n_wo)
+        def _phase_b():
+            w1 = w1_ref[...].astype(a_ref.dtype)
+            hblk = lax.dot_general(
+                normed[...], w1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            hblk = act_fn(hblk * s1_ref[...])
+            w2 = w2_ref[...].astype(a_ref.dtype)
+            acc[...] += lax.dot_general(
+                hblk.astype(a_ref.dtype), w2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
         @pl.when(j == pl.num_programs(0) - 1)
-        def _():
+        def _store():
             mlp = (acc[...] * s2_ref[...]).astype(o_ref.dtype)
             o_ref[...] = base[...].astype(o_ref.dtype) + mlp
 
+    def a_idx(j):
+        # phase A walks wo/resid/so column blocks; phase B repeats the last
+        # index (consecutive identical blocks -> DMA elided)
+        return jnp.minimum(j, n_wo - 1)
+
+    def b_idx(j):
+        # phase B walks the MLP H-blocks; phase A prefetches block 0
+        return jnp.maximum(j - n_wo, 0)
+
     out = pl.pallas_call(
         kernel,
-        grid=(h // bh,),
+        grid=(n_wo + n_h,),
         in_specs=[
             pl.BlockSpec((m_pad, hd), lambda j: (0, 0)),
-            pl.BlockSpec((m_pad, d), lambda j: (0, 0)),
-            pl.BlockSpec((hd, d), lambda j: (0, 0)),
+            pl.BlockSpec((m_pad, bd), lambda j: (0, a_idx(j))),
+            pl.BlockSpec((hd, bd), lambda j: (0, a_idx(j))),
+            pl.BlockSpec((1, bd), lambda j: (0, a_idx(j))),
             pl.BlockSpec((1, d), lambda j: (0, 0)),
-            pl.BlockSpec((1, d), lambda j: (0, 0)),
-            pl.BlockSpec((d, bh), lambda j: (0, j)),
-            pl.BlockSpec((1, bh), lambda j: (0, j)),
-            pl.BlockSpec((bh, d), lambda j: (j, 0)),
+            pl.BlockSpec((d, bh), lambda j: (0, b_idx(j))),
+            pl.BlockSpec((1, bh), lambda j: (0, b_idx(j))),
+            pl.BlockSpec((bh, d), lambda j: (b_idx(j), 0)),
             pl.BlockSpec((1, d), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((m_pad, d), lambda j: (0, 0)),
@@ -281,10 +308,7 @@ def int8_attn_tail(attn_raw: jnp.ndarray, resid: jnp.ndarray,
                         pltpu.VMEM((m_pad, d), attn_raw.dtype),
                         pltpu.VMEM((m_pad, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # the resident out-proj block alone is d^2 int8 (16.8MB at
-            # d=4096) — needs more than the 16MB default scoped vmem
-            vmem_limit_bytes=100 * 1024 * 1024),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(attn_raw, resid, woq, so2, ns2, w1q, s1_2d, w2q, s2_2d)
     return out[:m]
