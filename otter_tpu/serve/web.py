@@ -218,14 +218,20 @@ class _JsonlLogger:
 
 
 def build_app(controller_addr: str = None, worker_addr: str = None,
-              log_dir: str = "serve_logs"):
+              log_dir: str = "serve_logs", moderate: bool = False,
+              moderation_fn=None):
     """If worker_addr is given, talk to it directly (deploy/deploy.py
-    standalone mode); else resolve via the controller per request."""
+    standalone mode); else resolve via the controller per request.
+    moderate=True gates user text through the moderation check before
+    generation (reference --moderate, gradio_web_server.py:229-242)."""
     import requests
     from aiohttp import web
 
     from otter_tpu.serve.conversation import render_prompt
+    from otter_tpu.serve.moderation import (MODERATION_MSG,
+                                            violates_moderation)
 
+    check_moderation = moderation_fn or violates_moderation
     logger = _JsonlLogger(log_dir)
 
     def resolve_worker(model: str) -> str:
@@ -265,6 +271,19 @@ def build_app(controller_addr: str = None, worker_addr: str = None,
                 with_image=bool(params.get("images")))
         resp = web.StreamResponse()
         await resp.prepare(request)
+        if moderate:
+            last_user = (params["messages"][-1][0]
+                         if params.get("messages")
+                         else params.get("prompt", ""))
+            loop0 = asyncio.get_event_loop()
+            flagged = await loop0.run_in_executor(
+                None, lambda: check_moderation(last_user))
+            if flagged:
+                logger.write("moderation", {"text": last_user})
+                await resp.write(json.dumps(
+                    {"text": MODERATION_MSG, "error_code": 3}
+                ).encode() + b"\0")
+                return resp
         try:
             addr = resolve_worker(params.get("model", "otter"))
         except Exception:
@@ -339,9 +358,11 @@ def main():
                    help="bypass the controller (standalone deploy mode)")
     p.add_argument("--log-dir", default="serve_logs",
                    help="JSONL conversation/vote logs directory")
+    p.add_argument("--moderate", action="store_true",
+                   help="gate user text through the moderation API")
     args = p.parse_args()
     web.run_app(build_app(args.controller_address, args.worker_address,
-                          log_dir=args.log_dir),
+                          log_dir=args.log_dir, moderate=args.moderate),
                 host=args.host, port=args.port)
 
 

@@ -366,3 +366,25 @@ def test_fuyu_worker_streaming_http(tmp_path):
         stream=True, timeout=600)
     chunks = [json.loads(c) for c in r.content.split(b"\0") if c]
     assert chunks and chunks[-1]["error_code"] == 0, chunks
+
+
+def test_web_moderation_gate(tmp_path):
+    """--moderate blocks flagged text before any worker call (reference
+    gradio_web_server.py:229-242) and fails open without an API key."""
+    import requests
+    from otter_tpu.serve.moderation import violates_moderation
+    from otter_tpu.serve.web import build_app as web_build
+
+    assert violates_moderation("anything", api_key=None) is False
+
+    gport = _free_port()
+    _run_app(web_build("http://127.0.0.1:1", log_dir=str(tmp_path / "l"),
+                       moderate=True,
+                       moderation_fn=lambda t: "bad" in t), gport)
+    base = f"http://127.0.0.1:{gport}"
+    r = requests.post(base + "/http_bot", json={
+        "model": "otter", "messages": [["something bad", None]],
+        "images": [], "generation_kwargs": {}}, stream=True, timeout=10)
+    chunks = [json.loads(x) for x in r.content.split(b"\0") if x]
+    assert chunks[-1]["error_code"] == 3
+    assert "MODERATION" in chunks[-1]["text"]
