@@ -88,14 +88,33 @@ def convert_json_to_parquet(input_path: str, output_path: str) -> str:
 def main():
     import argparse
     p = argparse.ArgumentParser("convert-it")
-    p.add_argument("--image_folder", help="folder of images to pack")
+    p.add_argument("--name", default=None,
+                   help="per-source adapter (reference --name), e.g. "
+                        "2d.Llava; omit to pack a plain image folder")
+    p.add_argument("--image_path", default=None,
+                   help="adapter annotations/source file (reference flag)")
+    p.add_argument("--image_root", default=None,
+                   help="adapter image root (reference flag)")
+    p.add_argument("--num_threads", type=int, default=8)
+    p.add_argument("--image_folder", help="folder of images to pack "
+                                          "(generic mode)")
     p.add_argument("--output_json", required=True)
     p.add_argument("--output_parquet", default=None)
     p.add_argument("--prefix", default="IMG")
     p.add_argument("--resize_res", type=int, default=224)
     args = p.parse_args()
-    images = pack_image_folder(args.image_folder, prefix=args.prefix,
-                               resize_res=args.resize_res)
+    if args.name:
+        from otter_tpu.tools.convert_it_datasets import DATASET_REGISTRY
+        kwargs = {"num_threads": args.num_threads,
+                  "resize_res": args.resize_res}
+        if args.image_path is not None:
+            kwargs["image_path"] = args.image_path
+        if args.image_root is not None:
+            kwargs["image_root"] = args.image_root
+        images = DATASET_REGISTRY[args.name](**kwargs).load()
+    else:
+        images = pack_image_folder(args.image_folder, prefix=args.prefix,
+                                   resize_res=args.resize_res)
     save_json(images, args.output_json)
     if args.output_parquet:
         convert_json_to_parquet(args.output_json, args.output_parquet)

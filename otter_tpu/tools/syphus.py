@@ -150,3 +150,39 @@ def generate_instructions(dataset: AbstractDataset,
         with open(output_path, "w") as f:
             json.dump(result, f)
     return result
+
+
+def main(argv=None):
+    """CLI mirroring the reference `mimic-it/syphus/main.py` (--name
+    selects the dataset adapter; endpoint via env or flags)."""
+    import argparse
+
+    from otter_tpu.tools.syphus_datasets import DATASET_REGISTRY
+
+    p = argparse.ArgumentParser("syphus")
+    p.add_argument("--name", required=True,
+                   choices=sorted(DATASET_REGISTRY),
+                   help="dataset adapter (reference --name)")
+    p.add_argument("--query_inputs", required=True,
+                   help="path to the source annotations file")
+    p.add_argument("--output", required=True,
+                   help="output MIMIC-IT instruction JSON")
+    p.add_argument("--num_threads", type=int, default=8)
+    p.add_argument("--model", default="gpt-4")
+    p.add_argument("--base_url",
+                   default=os.environ.get("OPENAI_API_BASE",
+                                          "https://api.openai.com/v1"))
+    args = p.parse_args(argv)
+
+    dataset = DATASET_REGISTRY[args.name](args.query_inputs)
+    chat_fn = openai_chat_fn(model=args.model, base_url=args.base_url)
+    result = generate_instructions(dataset, chat_fn,
+                                   num_threads=args.num_threads,
+                                   output_path=args.output)
+    print(f"{args.name}: {len(result['data'])} instructions, "
+          f"{len(result['errors'])} errors -> {args.output}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

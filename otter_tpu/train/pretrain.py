@@ -204,3 +204,95 @@ def train(args, tokenizer, *, dataset_types=("laion", "mmc4")):
                 store.save(int(state.step), state,
                            metadata={"epoch": epoch + 1})
     return state
+
+
+@dataclasses.dataclass
+class PretrainArgs:
+    """CLI surface of the reference `pipeline/train/pretraining.py`
+    argparse (shards, per-source batch sizes and sample counts, loss
+    multipliers) on top of the shared TrainArgs-style optimization
+    fields."""
+    laion_shards: str = ""             # brace syntax: /p/{00000..01234}.tar
+    mmc4_shards: str = ""
+    cc3m_shards: str = ""
+    batch_size_laion: int = 128
+    batch_size_mmc4: int = 32
+    batch_size_cc3m: int = 128
+    train_num_samples_laion: int = 10000
+    train_num_samples_mmc4: int = 10000
+    train_num_samples_cc3m: int = 10000
+    mmc4_textsim_threshold: float = 0.24
+    loss_multiplier_laion: float = 0.2
+    loss_multiplier_mmc4: float = 1.0
+    model_config: str = "mpt1b"
+    tokenizer: str = ""
+    workers: int = 4
+    patch_image_size: int = 224
+    batch_size: int = 128
+    num_epochs: int = 1
+    learning_rate: float = 1e-4
+    lr_scheduler: str = "constant"
+    warmup_steps: int = 1875           # pretraining.py default
+    weight_decay: float = 0.1
+    seed: int = 42
+    dp: int = 1
+    fsdp: int = -1
+    tp: int = 1
+    precision: str = "bf16"
+    multi_host: bool = False
+    external_save_dir: str = "runs"
+    run_name: str = "flamingo-pretrain"
+    logging_steps: int = 100
+    # filled in by train()
+    rank: int = 0
+    world_size: int = 1
+    media_token_id: int = -1
+
+
+def main(argv=None):
+    import argparse
+
+    from otter_tpu.config import PRESETS
+
+    p = argparse.ArgumentParser("otter_tpu pretrainer")
+    defaults = PretrainArgs()
+    for name, f in defaults.__dataclass_fields__.items():
+        if name in ("rank", "world_size", "media_token_id"):
+            continue
+        val = getattr(defaults, name)
+        if isinstance(val, bool):
+            p.add_argument("--" + name, action="store_true")
+        else:
+            p.add_argument("--" + name, type=type(val), default=val)
+    ns = p.parse_args(argv)
+    args = PretrainArgs(**vars(ns))
+
+    if args.multi_host:
+        jax.distributed.initialize()
+    cfg = PRESETS[args.model_config]().replace(
+        use_media_placement_augmentation=True)
+    args.model_cfg = cfg
+    args.media_token_id = cfg.media_token_id
+
+    types = []
+    if args.laion_shards:
+        types.append("laion")
+    if args.mmc4_shards:
+        types.append("mmc4")
+    if args.cc3m_shards:
+        types.append("cc3m")
+    if not types:
+        raise SystemExit("provide at least one of --laion_shards/"
+                         "--mmc4_shards/--cc3m_shards")
+
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    tokenizer.add_special_tokens({"additional_special_tokens": [
+        "<|endofchunk|>", "<image>"]})
+    if tokenizer.pad_token is None:
+        tokenizer.add_special_tokens({"pad_token": "<PAD>"})
+    return train(args, tokenizer, dataset_types=tuple(types))
+
+
+if __name__ == "__main__":
+    main()

@@ -335,3 +335,44 @@ def test_convert_it_adapters(tmp_path, rng):
     out = Llava(image_root=str(root), image_path=str(jpath),
                 resize_res=16).load()
     assert list(out) == ["IMG1"]
+
+
+def test_tool_clis(tmp_path, rng, monkeypatch):
+    """The syphus/convert-it command-line fronts (reference
+    mimic-it/{syphus,convert-it}/main.py --name dispatch)."""
+    import json
+    import sys
+    from otter_tpu.tools import convert_it, syphus
+
+    # syphus CLI with a scripted endpoint
+    ann = tmp_path / "sd_train.json"
+    ann.write_text(json.dumps(
+        [{"img_id": "7_1", "sentences": ["a dog appeared"]}]))
+    out = tmp_path / "SD_instructions.json"
+    monkeypatch.setattr(
+        syphus, "openai_chat_fn",
+        lambda **kw: lambda messages: "Question: what changed?\n"
+                                      "Answer: a dog appeared")
+    result = syphus.main(["--name", "change.SpotTheDifference",
+                          "--query_inputs", str(ann),
+                          "--output", str(out), "--num_threads", "1"])
+    assert not result["errors"]
+    assert json.loads(out.read_text())["data"]
+
+    # convert-it CLI --name dispatch
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    _png_b64_file(img_dir / "7_1.png", rng)
+    oj = tmp_path / "SD.json"
+    monkeypatch.setattr(sys, "argv", [
+        "convert-it", "--name", "change.SpotTheDifference",
+        "--image_path", str(img_dir), "--output_json", str(oj),
+        "--resize_res", "16"])
+    convert_it.main()
+    assert set(json.loads(oj.read_text())) == {"7_1"}
+
+
+def test_pretrain_cli_requires_shards():
+    from otter_tpu.train.pretrain import main
+    with pytest.raises(SystemExit):
+        main(["--tokenizer", "x"])

@@ -1,7 +1,10 @@
 """SFT training throughput on one real chip: samples/sec/chip for the
 Flamingo-MPT-1B preset (the BASELINE.json training north-star metric).
-b8, s=1024, 1 image/sample, bf16 params, full train step (fwd+bwd+AdamW
-with the reference freezing policy). Marginal-step methodology."""
+s=1024, 1 image/sample, bf16 params, full train step (fwd+bwd+AdamW
+with the reference freezing policy). Marginal-step methodology.
+
+Usage: bench_train.py [batch] [remat]   (e.g. `bench_train.py 8 remat`)
+"""
 
 import sys
 import time
@@ -21,10 +24,12 @@ def main():
     from otter_tpu.train.step import (TrainState, make_optimizer,
                                       make_train_step, split_params)
 
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    remat = "remat" in sys.argv[2:]
     enable_compile_cache()
     cfg = otter_mpt1b()
-    model = OtterVLM(cfg, dtype=jnp.bfloat16)
-    b, s = 8, 1024
+    model = OtterVLM(cfg, dtype=jnp.bfloat16, remat=remat)
+    s = 1024
     rng = np.random.default_rng(0)
     vision_x = jnp.zeros((b, 1, 1, 3, 224, 224), jnp.bfloat16)
     ids = np.asarray(rng.integers(5, 50000, (b, s)), np.int32)
@@ -73,7 +78,7 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"train step: {dt*1e3:.1f} ms  ->  {b/dt:.2f} samples/sec/chip "
           f"({b*s/dt/1e3:.0f}k tok/s, {n_params/1e9:.2f}B params, "
-          f"b{b} s{s})")
+          f"b{b} s{s} remat={remat})")
 
 
 if __name__ == "__main__":
