@@ -181,10 +181,14 @@ class ContinuousBatcher:
         if bucket not in self._insert_fns:
             def insert(big, small, buffer, valid, latents, slot,
                        ids_row, mask_row, lat_row):
-                # stacked cache [B, NL, hk, L, d]: one scatter per k/v
-                # covers every layer's slot row
-                big = {kv: big[kv].at[slot, :, :, :bucket, :].set(
-                    small[kv][0]) for kv in ("k", "v")}
+                # stacked cache [B, NL, hk, L, d]: one scatter per cache
+                # array covers every layer's slot row (int8 caches carry
+                # extra [B, NL, hk, L] scale arrays)
+                def put(dst, src):
+                    if dst.ndim == 5:
+                        return dst.at[slot, :, :, :bucket, :].set(src[0])
+                    return dst.at[slot, :, :, :bucket].set(src[0])
+                big = {key: put(big[key], small[key]) for key in big}
                 buffer = buffer.at[slot, :bucket].set(ids_row)
                 row_valid = jnp.zeros((self.L,), bool).at[:bucket].set(
                     mask_row.astype(bool))

@@ -163,6 +163,35 @@ class SelfAttention(nn.Module):
             k = PerHeadRMS(eps=c.norm_eps, dtype=self.dtype, name="k_ln")(k)
 
         new_cache = None
+        quant_cache = cache is not None and cache["k"].dtype == jnp.int8
+
+        def write_cache(cache, k, v, pos):
+            """Append k/v [B,hk,S,D] at offset `pos` (scalar, or [B] with
+            S==1) into the stacked cache, quantizing when it is int8."""
+            upd = dict(cache)
+            if quant_cache:
+                from otter_tpu.ops.quant import quantize_kv
+                (kq, ksc), (vq, vsc) = quantize_kv(k), quantize_kv(v)
+                vals = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
+            else:
+                vals = {"k": k, "v": v}
+            for key, val in vals.items():
+                dst = cache[key]
+                val = val.astype(dst.dtype)
+                if getattr(pos, "ndim", 0) == 1:
+                    rows = jnp.arange(b)
+                    if val.ndim == 4:    # [B,hk,1,D] values
+                        upd[key] = dst.at[rows, layer, :, pos, :].set(
+                            val[:, :, 0, :])
+                    else:                # [B,hk,1] scales
+                        upd[key] = dst.at[rows, layer, :, pos].set(
+                            val[:, :, 0])
+                else:
+                    idx = (0, layer, 0, pos, 0)[:val.ndim + 1]
+                    upd[key] = jax.lax.dynamic_update_slice(
+                        dst, val[:, None], idx)
+            return upd
+
         if cache is not None and cache_pos is not None and kv_valid is not None:
             # decode: append k,v at cache_pos (into the stacked cache at
             # layer axis 1), attend against this layer's cache. cache_pos
@@ -172,23 +201,12 @@ class SelfAttention(nn.Module):
             # length).
             if getattr(cache_pos, "ndim", 0) == 1:
                 assert s == 1, "per-row cache_pos requires q_len == 1"
-                rows = jnp.arange(b)
-                ck = cache["k"].at[rows, layer, :, cache_pos, :].set(
-                    k[:, :, 0, :].astype(cache["k"].dtype))
-                cv = cache["v"].at[rows, layer, :, cache_pos, :].set(
-                    v[:, :, 0, :].astype(cache["v"].dtype))
-            else:
-                ck = jax.lax.dynamic_update_slice(
-                    cache["k"], k[:, None].astype(cache["k"].dtype),
-                    (0, layer, 0, cache_pos, 0))
-                cv = jax.lax.dynamic_update_slice(
-                    cache["v"], v[:, None].astype(cache["v"].dtype),
-                    (0, layer, 0, cache_pos, 0))
-            new_cache = {"k": ck, "v": cv}
-            ckl, cvl = ck[:, layer], cv[:, layer]
+            new_cache = write_cache(cache, k, v, cache_pos)
+            ckl, cvl = new_cache["k"][:, layer], new_cache["v"][:, layer]
             if self._use_decode_kernel(ckl) and s == 1 \
                     and q.shape[1] == ckl.shape[1]:
-                # Pallas decode kernel: reads only valid cache blocks
+                # Pallas decode kernel: reads only valid cache blocks;
+                # int8 caches dequantize in-register inside the kernel
                 from otter_tpu.ops.decode_attention import decode_attention
                 L = ckl.shape[2]
                 idx = jnp.arange(L)[None, :]
@@ -197,11 +215,20 @@ class SelfAttention(nn.Module):
                 starts = jnp.min(jnp.where(valid, idx, L), axis=-1)
                 b2 = bias[:, :, 0, :] if bias is not None and \
                     bias.ndim == 4 else bias
+                scales = ({"k_scale": new_cache["k_scale"][:, layer],
+                           "v_scale": new_cache["v_scale"][:, layer]}
+                          if quant_cache else {})
                 out = decode_attention(
                     q[:, :, 0, :], ckl, cvl, lengths, b2, starts=starts,
-                    sm_scale=self._scale(),
+                    sm_scale=self._scale(), **scales,
                     interpret=jax.default_backend() != "tpu")[:, :, None, :]
             else:
+                if quant_cache:
+                    from otter_tpu.ops.quant import dequantize_kv
+                    ckl = dequantize_kv(ckl, new_cache["k_scale"][:, layer],
+                                        q.dtype)
+                    cvl = dequantize_kv(cvl, new_cache["v_scale"][:, layer],
+                                        q.dtype)
                 out = _decode_attention(q, ckl, cvl, kv_valid, bias,
                                         sm_scale=self._scale())
         else:
@@ -210,13 +237,7 @@ class SelfAttention(nn.Module):
                 ids_mode="eq", causal=True, sm_scale=self._scale())
             if cache is not None:
                 # prefill: write k/v at offset 0 into the preallocated cache
-                ck = jax.lax.dynamic_update_slice(
-                    cache["k"], k[:, None].astype(cache["k"].dtype),
-                    (0, layer, 0, 0, 0))
-                cv = jax.lax.dynamic_update_slice(
-                    cache["v"], v[:, None].astype(cache["v"].dtype),
-                    (0, layer, 0, 0, 0))
-                new_cache = {"k": ck, "v": cv}
+                new_cache = write_cache(cache, k, v, 0)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, s, h * d)
         if not project_out:
@@ -551,10 +572,21 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
     decode step (2 full cache passes/layer, measured 2.1 ms/step on the 7B);
     a buffer larger than VMEM is updated in place in HBM. Batch stays axis 0
     so per-row slot scatter (continuous batching) and beam-search row
-    gathers are layout-agnostic."""
+    gathers are layout-agnostic.
+
+    dtype=jnp.int8 (or the string "int8") builds a QUANTIZED cache:
+    int8 entries plus f32 per-(position, head) max-abs scales — half the
+    HBM read per decode step where the cache dominates (long contexts),
+    dequantized in-register by the Pallas decode kernel."""
+    if dtype == "int8":
+        dtype = jnp.int8
     shape = (batch, cfg.num_hidden_layers, cfg.kv_heads, max_len,
              cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if dtype == jnp.int8:
+        cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    return cache
 
 
 def cache_len_of(cache) -> int:

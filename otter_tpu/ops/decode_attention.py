@@ -27,11 +27,20 @@ NUM_LANES = 128
 
 
 def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
+                     k_scale=None, v_scale=None,
                      sm_scale=None, block_k: int = 512,
                      mask_value: float = DEFAULT_MASK_VALUE,
                      interpret: bool = False):
     """q [B, H, D]; k/v [B, H, L, D]; lengths [B] int32; optional column
     bias [B|1, H|1, L] (ALiBi decode form). -> [B, H, D].
+
+    int8 KV cache: pass k/v as int8 with per-position scales k_scale /
+    v_scale [B, H, L] (symmetric row-wise max-abs quantization). The cache
+    is read at 1 byte/entry and dequantized in-register: the k scale is
+    applied to the [8, block_k] logits AFTER the q.k dot (per-key-row
+    scaling commutes with the contraction) and the v scale is folded into
+    the probability row before the p.v dot — no [block_k, d] dequantized
+    block is ever materialized.
 
     Grid (B, H, L//block_k); the single query row is replicated to the
     8-sublane minimum tile; KV blocks past `lengths[b]` or before
@@ -46,6 +55,9 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
         block_k //= 2
     num_kv = L // block_k
     has_bias = bias is not None
+    quant = k_scale is not None
+    if quant:
+        assert k.dtype == jnp.int8 and v.dtype == jnp.int8
     if starts is None:
         starts = jnp.zeros_like(lengths)
 
@@ -68,14 +80,22 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             (1, 1, 8, block_k),
             lambda b, hh, j, *_: (b, hh, 0, j)))
         args.append(bias8)
+    if quant:
+        # per-key-position scales, sublane-replicated like the bias
+        for sc in (k_scale, v_scale):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 8, block_k),
+                lambda b, hh, j, *_: (b, hh, 0, j)))
+            args.append(jnp.broadcast_to(
+                sc.astype(jnp.float32)[:, :, None, :], (bsz, h, 8, L)))
 
     def kernel(lengths_ref, starts_ref, *refs):
-        if has_bias:
-            q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr = \
-                refs
-        else:
-            q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
-            bias_ref = None
+        it = iter(refs)
+        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        bias_ref = next(it) if has_bias else None
+        ks_ref = next(it) if quant else None
+        vs_ref = next(it) if quant else None
+        o_ref, m_scr, l_scr, acc_scr = next(it), next(it), next(it), next(it)
         b = pl.program_id(0)
         j = pl.program_id(2)
         length = lengths_ref[b]
@@ -91,8 +111,12 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
         def _body():
             qq = q_ref[0, 0]                  # [8, D]
             kk = k_ref[0, 0]                  # [block_k, D]
+            if quant:
+                kk = kk.astype(qq.dtype)      # int8 -> compute dtype
             s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+            if quant:
+                s *= ks_ref[0, 0]             # per-key-row dequant
             s *= sm_scale                     # [8, block_k]
             if bias_ref is not None:
                 s += bias_ref[0, 0]
@@ -111,6 +135,10 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             m_scr[...] = m_next
             l_scr[...] = l_next
             vv = v_ref[0, 0]
+            if quant:
+                # fold the per-value-row scale into the probability row
+                p = p * vs_ref[0, 0]
+                vv = vv.astype(qq.dtype)
             o_curr = lax.dot_general(p.astype(vv.dtype), vv,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)

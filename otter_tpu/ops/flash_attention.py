@@ -571,6 +571,9 @@ def _bwd_pallas_call(kernel, *, grid4, q_block_idx, kv_block_idx, triangle,
 def _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value, interpret,
          res, g, triangle=True):
     q, k, v, bias, q_ids, kv_ids, o, lse = res
+    if lse.ndim == 3:   # compact [b,h,s] residual -> lane-replicated
+        lse = jnp.broadcast_to(lse[..., None],
+                               (*lse.shape, NUM_LANES))
     do = g
     batch, heads, s_q, d = q.shape
     s_k = k.shape[2]
@@ -748,7 +751,11 @@ def _make_flash_attention(causal: bool, sm_scale: float, ids_mode: str,
                       sm_scale=sm_scale, ids_mode=ids_mode,
                       block_sizes=block_sizes, mask_value=mask_value,
                       interpret=interpret)
-        return o, (q, k, v, bias, q_ids, kv_ids, o, lse)
+        # Persist the LSE residual compactly: the kernel emits it
+        # lane-replicated [b,h,s,128] f32 (64 MB/layer at b8 s1024 h16),
+        # but only lane 0 is meaningful. [b,h,s] stores at 1/128th; _bwd
+        # re-broadcasts it as a transient.
+        return o, (q, k, v, bias, q_ids, kv_ids, o, lse[..., 0])
 
     def fa_bwd(res, g):
         return _bwd(causal, sm_scale, ids_mode, block_sizes, mask_value,

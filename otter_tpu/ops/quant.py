@@ -398,3 +398,19 @@ def quantize_params(params: Any,
         else:
             out[k] = v
     return traverse_util.unflatten_dict(out, sep="/")
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Symmetric per-row max-abs int8 for KV-cache entries: x [..., D] ->
+    (int8 [..., D], f32 scale [...]). Row granularity = one (position,
+    head) vector, so decode appends quantize only the new token's rows."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray,
+                  dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)

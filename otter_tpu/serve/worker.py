@@ -555,6 +555,10 @@ def main():
                         "decode step (slot pool) instead of serializing")
     p.add_argument("--num-slots", type=int, default=4)
     p.add_argument("--cache-len", type=int, default=2048)
+    p.add_argument("--cache-bit", default="bf16", choices=["bf16", "int8"],
+                   help="int8 quantizes the KV cache (per-position max-abs"
+                        " scales, in-kernel dequant): half the cache HBM"
+                        " read per decode step at long contexts")
     args = p.parse_args()
 
     import jax
@@ -603,14 +607,17 @@ def main():
     if quantize:
         from otter_tpu.ops.quant import quantize_params
         params = {"params": quantize_params(params["params"])}
+    cache_dtype = jnp.int8 if args.cache_bit == "int8" else jnp.bfloat16
     if args.continuous_batching:
         from otter_tpu.generation.batching import ContinuousBatcher
         batcher = ContinuousBatcher(model, params, cfg,
                                     num_slots=args.num_slots,
-                                    cache_len=args.cache_len)
+                                    cache_len=args.cache_len,
+                                    cache_dtype=cache_dtype)
         stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg)
     else:
-        engine = OtterGenerator(model, params, cfg)
+        engine = OtterGenerator(model, params, cfg,
+                                cache_dtype=cache_dtype)
         stream_fn = make_otter_stream_fn(engine, tokenizer, cfg)
 
     addr = args.worker_address or f"http://localhost:{args.port}"

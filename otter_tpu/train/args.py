@@ -43,6 +43,7 @@ class TrainArgs:
     warmup_steps_ratio: Optional[float] = None
     weight_decay: float = 0.1
     gradient_checkpointing: bool = False
+    adam_mu_bf16: bool = False         # first moment in bf16 (saves HBM)
     mask_lm_head: bool = False
     seed: int = 42
     # parallelism (replaces accelerate/deepspeed YAML)

@@ -171,7 +171,8 @@ def main(args: TrainArgs, tokenizer=None):
             trainable, lr=args.learning_rate, schedule=args.lr_scheduler,
             warmup_steps=warmup, total_steps=total_steps,
             weight_decay=args.weight_decay,
-            grad_accum_steps=args.gradient_accumulation_steps)
+            grad_accum_steps=args.gradient_accumulation_steps,
+            mu_dtype=jnp.bfloat16 if args.adam_mu_bf16 else None)
         state = TrainState.create(params, cfg, tx)
         step_fn = jax.jit(make_train_step(
             model, cfg, tx, mask_embedding=args.mask_lm_head,

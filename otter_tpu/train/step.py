@@ -107,13 +107,16 @@ def make_schedule(name: str, lr: float, warmup_steps: int,
 def make_optimizer(trainable: Dict, *, lr: float = 1e-5,
                    schedule: str = "constant", warmup_steps: int = 0,
                    total_steps: int = 10000, weight_decay: float = 0.1,
-                   grad_clip: float = 1.0,
-                   grad_accum_steps: int = 1) -> optax.GradientTransformation:
+                   grad_clip: float = 1.0, grad_accum_steps: int = 1,
+                   mu_dtype=None) -> optax.GradientTransformation:
+    """mu_dtype=jnp.bfloat16 stores Adam's first moment in bf16 — 25% off
+    the optimizer-state footprint (4 bytes/param saved), the standard
+    memory/precision trade on HBM-limited chips; the variance stays f32."""
     sched = make_schedule(schedule, lr, warmup_steps, total_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=0.9, b2=0.95, eps=1e-8,
-                    weight_decay=weight_decay,
+                    weight_decay=weight_decay, mu_dtype=mu_dtype,
                     mask=weight_decay_mask(trainable)),
     )
     if grad_accum_steps > 1:

@@ -26,6 +26,7 @@ def main():
 
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     remat = "remat" in sys.argv[2:]
+    mu_bf16 = "mu_bf16" in sys.argv[2:]
     enable_compile_cache()
     cfg = otter_mpt1b()
     model = OtterVLM(cfg, dtype=jnp.bfloat16, remat=remat)
@@ -49,7 +50,8 @@ def main():
         lambda sh: jnp.zeros(sh.shape, jnp.bfloat16 if jnp.issubdtype(
             sh.dtype, jnp.floating) else sh.dtype), shapes)["params"]
     trainable, _ = split_params(params, cfg)
-    tx = make_optimizer(trainable, lr=1e-4, total_steps=100)
+    tx = make_optimizer(trainable, lr=1e-4, total_steps=100,
+                        mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     state = TrainState.create(params, cfg, tx)
     step = make_train_step(model, cfg, tx, mask_embedding=True)
 
@@ -78,7 +80,7 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"train step: {dt*1e3:.1f} ms  ->  {b/dt:.2f} samples/sec/chip "
           f"({b*s/dt/1e3:.0f}k tok/s, {n_params/1e9:.2f}B params, "
-          f"b{b} s{s} remat={remat})")
+          f"b{b} s{s} remat={remat} mu_bf16={mu_bf16})")
 
 
 if __name__ == "__main__":
