@@ -445,9 +445,13 @@ class Decoder(nn.Module):
                  vis_latents=None, xattn_q_ids=None, xattn_kv_ids=None,
                  xattn_out_keep=None,
                  cache=None, cache_pos=None, kv_valid=None,
-                 output_hidden=False):
+                 output_hidden=False, skip_head=False):
         """Returns (logits [B, S, V], new_cache or None); with
-        output_hidden=True also the final hidden states (for value heads).
+        output_hidden=True also the final hidden states (for value heads);
+        with skip_head=True returns the final-norm hidden states in place
+        of logits WITHOUT the vocab projection (the fused-CE training path
+        computes chunked logits against the head weights itself so the
+        [B,S,V] array is never materialized).
 
         Prefill/training: cache=None (training) or a preallocated cache with
         cache_pos=None (prefill writes at offset 0). Decode: cache_pos set,
@@ -549,6 +553,8 @@ class Decoder(nn.Module):
 
         x = _norm(c, self.dtype, "norm_f")(x)
 
+        if skip_head:
+            return x, new_cache
         if c.tie_embeddings:
             logits = embed.attend(x)
         else:

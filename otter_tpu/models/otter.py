@@ -68,7 +68,7 @@ class OtterVLM(nn.Module):
                  vis_latents=None,
                  cache=None, cache_pos=None, kv_valid=None,
                  positions=None,
-                 media_counts=None, vision_mask=None):
+                 media_counts=None, vision_mask=None, skip_head=False):
         """Full forward. If `vis_latents` is given, `vision_x` is ignored
         (the `use_cached_vision_x` behavior, modeling_otter.py:925-936).
 
@@ -102,7 +102,8 @@ class OtterVLM(nn.Module):
             lang_x, attention_mask=attention_mask, positions=positions,
             vis_latents=vis_latents, xattn_q_ids=q_ids, xattn_kv_ids=kv_ids,
             xattn_out_keep=out_keep,
-            cache=cache, cache_pos=cache_pos, kv_valid=kv_valid)
+            cache=cache, cache_pos=cache_pos, kv_valid=kv_valid,
+            skip_head=skip_head)
         return logits, new_cache, vis_latents
 
 

@@ -156,7 +156,7 @@ def train(args, tokenizer, *, dataset_types=("laion", "mmc4")):
             model, cfg, tx,
             loss_multiplier_laion=args.loss_multiplier_laion,
             loss_multiplier_mmc4=args.loss_multiplier_mmc4),
-            static_argnames=("attend_prev",))
+            static_argnames=("attend_prev",), donate_argnums=(0,))
 
         save_dir = os.path.join(args.external_save_dir, args.run_name)
         store = CheckpointStore(save_dir, keep=3)

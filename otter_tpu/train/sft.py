@@ -174,9 +174,13 @@ def main(args: TrainArgs, tokenizer=None):
             grad_accum_steps=args.gradient_accumulation_steps,
             mu_dtype=jnp.bfloat16 if args.adam_mu_bf16 else None)
         state = TrainState.create(params, cfg, tx)
+        # donate the state: XLA otherwise keeps both the argument buffers
+        # and the updated trainable+opt alive across the step (measured
+        # ~6.3 GB extra temps on the 2.6B Flamingo-MPT-1B)
         step_fn = jax.jit(make_train_step(
             model, cfg, tx, mask_embedding=args.mask_lm_head,
-            attend_previous=not cfg.use_media_placement_augmentation))
+            attend_previous=not cfg.use_media_placement_augmentation,
+            fused_ce_chunk=args.fused_ce_chunk), donate_argnums=(0,))
 
         save_dir = os.path.join(args.external_save_dir, args.run_name)
         store = CheckpointStore(

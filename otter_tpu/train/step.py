@@ -139,6 +139,58 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray
     return jnp.sum(nll) / n, n
 
 
+def chunked_causal_lm_loss(hidden: jnp.ndarray, head: jnp.ndarray,
+                           labels: jnp.ndarray, *, tied: bool = True,
+                           logit_scale=None, chunk: int = 256
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused cross-entropy over final hidden states: the [B, S, V] logits
+    (and their tangent) are never materialized — each scan iteration
+    projects one `chunk`-token slice against the head weights and the
+    checkpointed body recomputes it in the backward pass. At b4 s1024
+    V=50k this removes 2x394 MB bf16 HLO temps from the train step, the
+    largest single activations in the graph.
+
+    hidden [B, S, D] = final-norm decoder output (model skip_head=True);
+    head = embedding [V, D] when tied else lm_head kernel [D, V]. Same
+    math/shift convention as `causal_lm_loss`.
+    """
+    from jax import lax
+
+    h = hidden[:, :-1]
+    targets = labels[:, 1:]
+    b, s, d = h.shape
+    n = -(-s // chunk)
+    pad = n * chunk - s
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=-100)
+
+    @jax.checkpoint
+    def body(carry, i):
+        hc = lax.dynamic_slice_in_dim(h, i * chunk, chunk, axis=1)
+        tc = lax.dynamic_slice_in_dim(targets, i * chunk, chunk, axis=1)
+        logits = (jnp.einsum("bsd,vd->bsv", hc, head) if tied
+                  else jnp.einsum("bsd,dv->bsv", hc, head))
+        if logit_scale is not None:
+            logits = logits * logit_scale
+        logits = logits.astype(jnp.float32)
+        valid = tc != -100
+        safe = jnp.where(valid, tc, 0)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, safe[..., None], -1)[..., 0]
+        nll = jnp.where(valid, lse - tgt, 0.0)
+        acc_l, acc_n = carry
+        return (acc_l + jnp.sum(nll),
+                acc_n + jnp.sum(valid.astype(jnp.int32))), None
+
+    (total, count), _ = lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        jnp.arange(n))
+    n_tok = jnp.maximum(count, 1)
+    return total / n_tok, n_tok
+
+
 @flax.struct.dataclass
 class TrainState:
     step: jnp.ndarray
@@ -172,22 +224,40 @@ def embedding_grad_mask(cfg: OtterConfig) -> Optional[jnp.ndarray]:
 def make_train_step(model, cfg: OtterConfig,
                     tx: optax.GradientTransformation,
                     *, mask_embedding: bool = False,
-                    attend_previous: bool = True):
+                    attend_previous: bool = True,
+                    fused_ce_chunk: int = 0):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: {vision_x [B,T,F,C,H,W], input_ids [B,S], attention_mask [B,S],
             labels [B,S]} — the collated net_input of the reference
     (`mimicit_dataset.py:510-549`) plus masked labels.
+
+    fused_ce_chunk > 0 routes the loss through `chunked_causal_lm_loss`
+    (model forward with skip_head=True; the full-vocab logits are never
+    materialized).
     """
     emb_mask = embedding_grad_mask(cfg) if mask_embedding else None
+    tcfg = cfg.text
 
     def loss_fn(trainable, frozen, batch):
         params = merge_params(trainable, frozen)
-        logits, _, _ = model.apply(
-            {"params": params}, batch["vision_x"], batch["input_ids"],
-            attention_mask=batch["attention_mask"],
-            attend_previous=attend_previous)
-        loss, n = causal_lm_loss(logits, batch["labels"])
+        if fused_ce_chunk:
+            hidden, _, _ = model.apply(
+                {"params": params}, batch["vision_x"], batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                attend_previous=attend_previous, skip_head=True)
+            dec = params["lang_encoder"]
+            head = (dec["wte"]["embedding"] if tcfg.tie_embeddings
+                    else dec["lm_head"]["kernel"])
+            loss, n = chunked_causal_lm_loss(
+                hidden, head, batch["labels"], tied=tcfg.tie_embeddings,
+                logit_scale=tcfg.logit_scale, chunk=fused_ce_chunk)
+        else:
+            logits, _, _ = model.apply(
+                {"params": params}, batch["vision_x"], batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                attend_previous=attend_previous)
+            loss, n = causal_lm_loss(logits, batch["labels"])
         return loss, {"loss": loss, "tokens": n}
 
     def step(state: TrainState, batch, rng=None):

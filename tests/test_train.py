@@ -153,3 +153,49 @@ def test_grad_accumulation(rng):
     state, _ = step(state, batch)
     t2 = jax.tree_util.tree_leaves(state.trainable)[0]
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_fused_ce_matches_standard(rng):
+    """fused_ce_chunk path (skip_head + chunked CE, no [B,S,V] logits)
+    reproduces the standard loss AND gradients."""
+    import optax
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.train.step import (TrainState, make_optimizer,
+                                      make_train_step, split_params)
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg)
+    b, s = 2, 12
+    vx = jnp.asarray(rng.standard_normal((b, 1, 1, 3, 28, 28)), jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (b, s)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    labels = np.where(rng.random((b, s)) < 0.6, ids, -100).astype(np.int32)
+    batch = {"vision_x": vx, "input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.ones((b, s), jnp.int32),
+             "labels": jnp.asarray(labels)}
+
+    params = model.init(jax.random.PRNGKey(0), vx, batch["input_ids"])
+    params = params["params"]
+    trainable, _ = split_params(params, cfg)
+    tx = make_optimizer(trainable, lr=1e-3, total_steps=10)
+
+    def run(fused):
+        st = TrainState.create(params, cfg, tx)
+        step = make_train_step(model, cfg, tx, mask_embedding=True,
+                               fused_ce_chunk=4 if fused else 0)
+        st2, m = jax.jit(step)(st, batch)
+        return m, st2
+
+    m0, st0 = run(False)
+    m1, st1 = run(True)
+    assert int(m0["tokens"]) == int(m1["tokens"])
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m0["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-4)
+    a = jax.tree_util.tree_leaves(st0.trainable)
+    bnew = jax.tree_util.tree_leaves(st1.trainable)
+    for x, y in zip(a, bnew):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-5, rtol=1e-4)

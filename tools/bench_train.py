@@ -6,6 +6,7 @@ with the reference freezing policy). Marginal-step methodology.
 Usage: bench_train.py [batch] [remat]   (e.g. `bench_train.py 8 remat`)
 """
 
+import functools
 import sys
 import time
 
@@ -27,6 +28,7 @@ def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     remat = "remat" in sys.argv[2:]
     mu_bf16 = "mu_bf16" in sys.argv[2:]
+    fused_ce = "fused_ce" in sys.argv[2:]
     enable_compile_cache()
     cfg = otter_mpt1b()
     model = OtterVLM(cfg, dtype=jnp.bfloat16, remat=remat)
@@ -53,18 +55,28 @@ def main():
     tx = make_optimizer(trainable, lr=1e-4, total_steps=100,
                         mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     state = TrainState.create(params, cfg, tx)
-    step = make_train_step(model, cfg, tx, mask_embedding=True)
+    step = make_train_step(model, cfg, tx, mask_embedding=True,
+                           fused_ce_chunk=256 if fused_ce else 0)
+
+    # donate the state: without it XLA keeps BOTH the argument buffers and
+    # the loop-carried updated trainable+opt (~6.3 GB extra HLO temps on
+    # this 2.6B model — the difference between fitting a 16G v5e or not).
+    # The returned state is threaded into the next call.
+    holder = {"s": state}
 
     def build(n):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run(state, batch):
             def body(i, st):
                 st, m = step(st, batch)
                 return st
-            st = lax.fori_loop(0, n, body, state)
-            return st.step, st.trainable["perceiver"]["latents"][0, :4]
-        return lambda: jax.tree_util.tree_map(
-            np.asarray, run(state, batch))
+            return lax.fori_loop(0, n, body, state)
+
+        def f():
+            st = run(holder["s"], batch)
+            holder["s"] = st
+            np.asarray(st.step)          # force the readback
+        return f
 
     def timed(f):
         f()
@@ -80,7 +92,8 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"train step: {dt*1e3:.1f} ms  ->  {b/dt:.2f} samples/sec/chip "
           f"({b*s/dt/1e3:.0f}k tok/s, {n_params/1e9:.2f}B params, "
-          f"b{b} s{s} remat={remat} mu_bf16={mu_bf16})")
+          f"b{b} s{s} remat={remat} mu_bf16={mu_bf16} "
+          f"fused_ce={fused_ce})")
 
 
 if __name__ == "__main__":
