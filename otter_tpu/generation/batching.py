@@ -240,12 +240,16 @@ class ContinuousBatcher:
 
     # ── scheduler ─────────────────────────────────────────────────────
 
-    def _admit_one(self, vision_x, lang_x, gen, out,
-                   t_submit: float = 0.0) -> bool:
+    def _admit_start(self, vision_x, lang_x, gen, out,
+                     t_submit: float = 0.0):
+        """Dispatch one admission (prefill + slot insert + first-token
+        sample) WITHOUT any device->host sync; returns (slot, device_tok).
+        `_admit` forces all admitted first tokens in ONE readback so K
+        admissions pipeline their prefills instead of each paying the
+        relay roundtrip (and stalling every active decode stream)."""
         free = next((i for i, s in enumerate(self._slots)
                      if not s.active), None)
-        if free is None:
-            return False
+        assert free is not None
         lang_x = np.asarray(lang_x)
         real = int(lang_x.shape[1])
         bucket = _round_bucket(real, self.buckets)
@@ -264,20 +268,17 @@ class ContinuousBatcher:
                 self._latents, free, jnp.asarray(ids[0]),
                 jnp.asarray(mask[0]), lat)
 
-        # first token from the prefill logits
-        media = int(np.sum(lang_x == self.cfg.media_token_id))
-        eos = gen.eos_token_id if gen.eos_token_id is not None \
-            else self.cfg.eoc_token_id
+        # first token from the prefill logits (left on device)
         self._rng, sub = jax.random.split(self._rng)
-        gcfg = gen
         first_logits = last_logits
         if gen.no_repeat_ngram_size or gen.bad_words_ids:
             first_logits = sampling.process_logits(
-                first_logits, jnp.asarray(ids), bucket, gcfg,
+                first_logits, jnp.asarray(ids), bucket, gen,
                 bucket - real)
-        tok = int(sampling.sample_token(
+        tok_dev = sampling.sample_token(
             sub, first_logits, do_sample=gen.do_sample,
-            temperature=gen.temperature, top_k=gen.top_k, top_p=gen.top_p)[0])
+            temperature=gen.temperature, top_k=gen.top_k,
+            top_p=gen.top_p)[0]
 
         slot = self._slots[free]
         slot.gen = gen
@@ -286,10 +287,16 @@ class ContinuousBatcher:
         slot.bucket = bucket
         slot.written = bucket
         slot.emitted = 1
-        slot.media = media
-        slot.last_tok = tok
+        slot.media = int(np.sum(lang_x == self.cfg.media_token_id))
         slot.active = True
         slot.t_submit = t_submit
+        return slot, tok_dev
+
+    def _admit_finish(self, slot: "_Slot", tok: int):
+        gen, out = slot.gen, slot.out
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        slot.last_tok = tok
         slot.t_admit = slot.t_first = time.monotonic()
         if tok == eos or gen.max_new_tokens <= 1:
             if tok != eos:
@@ -298,7 +305,6 @@ class ContinuousBatcher:
             self._finish(slot)
         else:
             out.put(tok)
-        return True
 
     def _finish(self, slot: "_Slot"):
         """Close out a request and record its latency stats."""
@@ -349,18 +355,23 @@ class ContinuousBatcher:
 
     def _admit(self):
         decoding = any(s.active for s in self._slots)
-        admitted = 0
+        started = []
         while not self._pending.empty():
-            if decoding and admitted >= self.max_admits_per_iter:
-                return
+            if decoding and len(started) >= self.max_admits_per_iter:
+                break
             if not any(not s.active for s in self._slots):
-                return
+                break
             try:
                 item = self._pending.get_nowait()
             except queue.Empty:
-                return
-            self._admit_one(*item)
-            admitted += 1
+                break
+            started.append(self._admit_start(*item))
+        if started:
+            # one readback for ALL admitted first tokens: the K prefills
+            # pipeline on device instead of serializing on K roundtrips
+            toks = np.asarray(jnp.stack([t for _, t in started]))
+            for (slot, _), tok in zip(started, toks):
+                self._admit_finish(slot, int(tok))
 
     def _step(self):
         with self._lock:
