@@ -353,10 +353,25 @@ def idefics_rules(cfg) -> list:
     return [(re.compile(pat + r"$"), tmpl, tr) for pat, tmpl, tr in rules]
 
 
-def fuyu_rules() -> list:
+def fuyu_rules(num_heads: int = 64) -> list:
     """adept/fuyu-8b checkpoint names -> FuyuVLM param paths
     (reference `fuyu/modeling_fuyu.py`/`modeling_persimmon.py` attribute
-    names)."""
+    names). The HF persimmon fused qkv is per-head INTERLEAVED
+    ([h, 3, d] row blocks, `PersimmonAttention._split_heads`); our
+    decoder splits flat [q | k | v], so the qkv weight/bias rows are
+    de-interleaved here (a pure permutation)."""
+
+    def _deint_w(x):          # [3hd, in] torch -> [in, 3hd] flax, flat qkv
+        out, inn = x.shape
+        d = out // (3 * num_heads)
+        x = x.reshape(num_heads, 3, d, inn).transpose(1, 0, 2, 3)
+        return np.ascontiguousarray(x.reshape(out, inn).T)
+
+    def _deint_b(x):          # [3hd] bias
+        d = x.shape[0] // (3 * num_heads)
+        return np.ascontiguousarray(
+            x.reshape(num_heads, 3, d).transpose(1, 0, 2).reshape(-1))
+
     rules = [
         (r"vision_embed_tokens\.weight", "vision_embed_tokens/kernel", _t),
         (r"vision_embed_tokens\.bias", "vision_embed_tokens/bias", None),
@@ -372,9 +387,9 @@ def fuyu_rules() -> list:
     b = r"language_model\.model\.layers\.(\d+)\."
     rules += [
         (b + r"self_attn\.query_key_value\.weight",
-         "language_model/layers_{0}/attn/Wqkv/kernel", _t),
+         "language_model/layers_{0}/attn/Wqkv/kernel", _deint_w),
         (b + r"self_attn\.query_key_value\.bias",
-         "language_model/layers_{0}/attn/Wqkv/bias", None),
+         "language_model/layers_{0}/attn/Wqkv/bias", _deint_b),
         (b + r"self_attn\.dense\.weight",
          "language_model/layers_{0}/attn/out_proj/kernel", _t),
         (b + r"self_attn\.dense\.bias",
@@ -407,9 +422,27 @@ def fuyu_rules() -> list:
     return [(re.compile(p + r"$"), tmpl, tr) for p, tmpl, tr in rules]
 
 
+def _normalize_fuyu_key(name: str) -> str:
+    """Accept both checkpoint vintages: adept/fuyu-8b files use
+    `language_model.model.layers...` / `language_model.lm_head`, while
+    post-refactor transformers state_dicts use `model.language_model.
+    layers...` / top-level `lm_head` (HF remaps old files through
+    `_checkpoint_conversion_mapping`). Normalize to the on-disk naming
+    the rules target."""
+    if name.startswith("model.language_model."):
+        name = "language_model.model." + name[len("model.language_model."):]
+    elif name.startswith("model.vision_embed_tokens."):
+        name = name[len("model."):]
+    elif name == "lm_head.weight":
+        name = "language_model.lm_head.weight"
+    return name
+
+
 def fuyu_hf_to_flax(state_dict: Dict[str, np.ndarray], *, dtype=None,
-                    strict: bool = False) -> Dict[str, np.ndarray]:
-    rules = fuyu_rules()
+                    strict: bool = False,
+                    num_heads: int = 64) -> Dict[str, np.ndarray]:
+    rules = fuyu_rules(num_heads)
+    state_dict = {_normalize_fuyu_key(k): v for k, v in state_dict.items()}
     out, unmatched = {}, []
     for name, arr in state_dict.items():
         for pat, tmpl, tr in rules:
