@@ -519,10 +519,14 @@ class Decoder(nn.Module):
         # activation_checkpointing_fn per MPTBlock, modeling_mpt.py:326)
         layer_cls = DecoderLayer
         if self.remat and cache is None:
+            # prevent_cse=True (the default) is REQUIRED here: the layers
+            # run in a plain Python loop (not scan), and without the CSE
+            # barrier XLA merges each rematerialized forward back into the
+            # original — measured as byte-identical HBM footprints with
+            # remat on and off (the dup is CSE'd away, nothing is saved)
             layer_cls = nn.remat(
                 DecoderLayer,
-                static_argnums=(),
-                prevent_cse=False)
+                static_argnums=())
 
         # the stacked cache threads through the layer loop: each layer's
         # update returns the full pytree with its slot written (in-place

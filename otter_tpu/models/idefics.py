@@ -272,8 +272,9 @@ class IdeficsVLM(nn.Module):
 
         layer_cls = DecoderLayer
         if self.remat and cache is None:
-            layer_cls = nn.remat(DecoderLayer, static_argnums=(),
-                                 prevent_cse=False)
+            # prevent_cse must stay True (default): without the barrier
+            # XLA CSEs the rematerialized forward away (see decoder.py)
+            layer_cls = nn.remat(DecoderLayer, static_argnums=())
 
         cur_cache = cache
         for i in range(t.num_hidden_layers):

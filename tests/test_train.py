@@ -199,3 +199,37 @@ def test_fused_ce_matches_standard(rng):
     for x, y in zip(a, bnew):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_remat_matches_no_remat(rng):
+    """Gradient checkpointing (nn.remat per layer) must not change loss
+    or gradients."""
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.train.step import causal_lm_loss
+
+    cfg = OtterConfig.tiny("mpt")
+    b, s = 1, 10
+    vx = jnp.asarray(rng.standard_normal((b, 1, 1, 3, 28, 28)), jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (b, s)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    labels = jnp.asarray(np.where(rng.random((b, s)) < 0.5,
+                                  np.asarray(ids), -100).astype(np.int32))
+
+    base = OtterVLM(cfg)
+    params = base.init(jax.random.PRNGKey(0), vx, ids)
+
+    def loss_for(model):
+        def f(p):
+            lg, _, _ = model.apply(p, vx, ids)
+            return causal_lm_loss(lg, labels)[0]
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    l0, g0 = loss_for(base)
+    l1, g1 = loss_for(OtterVLM(cfg, remat=True))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-5, rtol=1e-4)
