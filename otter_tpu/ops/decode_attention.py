@@ -81,13 +81,16 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             lambda b, hh, j, *_: (b, hh, 0, j)))
         args.append(bias8)
     if quant:
-        # per-key-position scales, sublane-replicated like the bias
+        # per-key-position scales, sublane-replicated like the bias.
+        # bf16 on the wire: the replication makes scale traffic 8/d of
+        # the values' (25% of the int8 savings at d=128 in f32); scale
+        # precision only perturbs the already ~1% int8 error
         for sc in (k_scale, v_scale):
             in_specs.append(pl.BlockSpec(
                 (1, 1, 8, block_k),
                 lambda b, hh, j, *_: (b, hh, 0, j)))
             args.append(jnp.broadcast_to(
-                sc.astype(jnp.float32)[:, :, None, :], (bsz, h, 8, L)))
+                sc.astype(jnp.bfloat16)[:, :, None, :], (bsz, h, 8, L)))
 
     def kernel(lengths_ref, starts_ref, *refs):
         it = iter(refs)

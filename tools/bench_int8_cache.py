@@ -6,7 +6,8 @@ At L=2048 the bf16 cache read is 2*32*2048*4096*2 = 2.1 GB/step/row-batch
 step the decoder reads b*2*NL*L*d bytes); int8 halves it. Marginal-step
 methodology (tunnel relay amortized by an in-jit fori_loop).
 
-Usage: bench_int8_cache.py [cache_len] (default 2048)
+Usage: bench_int8_cache.py [cache_len] [batch]   (default 2048, 1 — at
+L=2048 the 7B's bf16 cache is 4.3 GB/row-batch; one v5e fits b1)
 """
 
 import sys
@@ -45,7 +46,8 @@ def main():
         text=otter_mpt7b().text.replace(quant="int8",
                                         decode_kernel=True))
     t = cfg.text
-    b, ctx = 8, L - 64   # valid context near capacity
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    ctx = L - 64         # valid context near capacity
 
     dec = Decoder(t, otter_cfg=None, dtype=jnp.bfloat16)
     ids1 = jnp.zeros((b, 1), jnp.int32)
@@ -77,7 +79,10 @@ def main():
         return lambda: np.asarray(run(params, ids1,
                                       init_cache(t, b, L, dtype)))
 
-    for name, dtype in (("bf16", jnp.bfloat16), ("int8", jnp.int8)):
+    which = sys.argv[3] if len(sys.argv) > 3 else "both"
+    variants = [("bf16", jnp.bfloat16), ("int8", jnp.int8)]
+    variants = [v for v in variants if which in (v[0], "both")]
+    for name, dtype in variants:
         ms = _marginal(lambda n: build(dtype, n)) * 1e3
         cache = jax.eval_shape(lambda: init_cache(t, b, L, dtype))
         cache_gb = sum(x.size * x.dtype.itemsize
