@@ -290,7 +290,8 @@ def make_idefics_stream_fn(engine, tokenizer, cfg, *,
 
 
 def make_fuyu_stream_fn(model, params, processor, cfg, tokenizer, *,
-                        stream_interval: int = 2, resolution=None):
+                        stream_interval: int = 2, resolution=None,
+                        cache_dtype=None):
     """Streaming bridge for Fuyu/OtterHD (the reference's Flask deploy
     endpoint, `pipeline/serve/deploy/otterhd_endpoint.py:62-98`, rebuilt on
     the worker protocol): variable-resolution patching through the
@@ -305,7 +306,7 @@ def make_fuyu_stream_fn(model, params, processor, cfg, tokenizer, *,
 
     prefill_fns: dict = {}
     step_fns: dict = {}
-    dtype = model.dtype
+    dtype = cache_dtype if cache_dtype is not None else model.dtype
 
     def get_prefill(s, p, cache_len):
         key = (s, p, cache_len)
@@ -455,18 +456,21 @@ def _run_idefics_worker(args):
     if args.load_bit == "int8":
         from otter_tpu.ops.quant import quantize_params
         params = {"params": quantize_params(params["params"])}
+    cache_dtype = jnp.int8 if args.cache_bit == "int8" else jnp.bfloat16
     if args.continuous_batching:
         from otter_tpu.data.templates import (IDEFICS_STANDARD_MEAN,
                                               IDEFICS_STANDARD_STD)
         from otter_tpu.generation.batching import ContinuousBatcher
         batcher = ContinuousBatcher(model, params, cfg,
                                     num_slots=args.num_slots,
-                                    cache_len=args.cache_len)
+                                    cache_len=args.cache_len,
+                                    cache_dtype=cache_dtype)
         stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg,
                                            mean=IDEFICS_STANDARD_MEAN,
                                            std=IDEFICS_STANDARD_STD)
     else:
-        engine = OtterGenerator(model, params, cfg)
+        engine = OtterGenerator(model, params, cfg,
+                                cache_dtype=cache_dtype)
         stream_fn = make_idefics_stream_fn(engine, tokenizer, cfg)
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
@@ -513,8 +517,9 @@ def _run_fuyu_worker(args):
     if args.fuyu_resolution:
         h, w = args.fuyu_resolution.lower().split("x")
         resolution = (int(h), int(w))
-    stream_fn = make_fuyu_stream_fn(model, params, processor, cfg,
-                                    tokenizer, resolution=resolution)
+    stream_fn = make_fuyu_stream_fn(
+        model, params, processor, cfg, tokenizer, resolution=resolution,
+        cache_dtype=jnp.int8 if args.cache_bit == "int8" else None)
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
         controller_addr=args.controller_address, worker_addr=addr,

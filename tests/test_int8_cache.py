@@ -153,3 +153,37 @@ def test_batcher_int8_cache(rng):
         assert all(1 <= len(o) <= 5 for o in outs)
     finally:
         batcher.shutdown()
+
+
+def test_idefics_int8_cached_decode(rng):
+    """IDEFICS shares the decoder Attention, so its cached decode works
+    with an int8 cache too (worker --model-family idefics --cache-bit
+    int8)."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_idefics import IMG, _setup
+
+    cfg, model, params, vx, ids = _setup(rng)
+    b, s = ids.shape
+    full_ids = np.concatenate(
+        [ids, np.asarray(rng.integers(3, 100, (b, 2)), np.int32)], axis=1)
+    logits_full, _, _ = model.apply(params, vx, jnp.asarray(full_ids))
+
+    L = 32
+    cache = init_cache(cfg.text, b, L, jnp.int8)
+    am = jnp.ones((b, s), jnp.int32)
+    positions = jnp.cumsum(am, axis=-1) - 1
+    lg, cache, lat = model.apply(params, vx, jnp.asarray(ids),
+                                 attention_mask=am, positions=positions,
+                                 cache=cache)
+    media_counts = jnp.sum(jnp.asarray(ids) == IMG, axis=-1)
+    tok = jnp.asarray(full_ids[:, s:s + 1])
+    kv_valid = jnp.arange(L)[None, :] <= s
+    lg, cache, _ = model.apply(
+        params, None, tok, vis_latents=lat, cache=cache,
+        cache_pos=s, kv_valid=kv_valid,
+        positions=jnp.full((b, 1), s, jnp.int32),
+        media_counts=media_counts)
+    np.testing.assert_allclose(np.asarray(lg[:, -1]),
+                               np.asarray(logits_full[:, s]),
+                               atol=0.05, rtol=0.05)
