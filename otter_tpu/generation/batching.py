@@ -366,12 +366,15 @@ class ContinuousBatcher:
             except queue.Empty:
                 break
             started.append(self._admit_start(*item))
-        if started:
-            # one readback for ALL admitted first tokens: the K prefills
-            # pipeline on device instead of serializing on K roundtrips
-            toks = np.asarray(jnp.stack([t for _, t in started]))
-            for (slot, _), tok in zip(started, toks):
-                self._admit_finish(slot, int(tok))
+        # dispatch-then-force: all K prefills are already in flight
+        # (pipelined on device); forcing each first token in dispatch
+        # order keeps request 1's TTFT at its OWN prefill latency while
+        # later forces return as their prefill completes. (Forcing all K
+        # in one stacked readback was measured to inflate ttft_p50
+        # 151 -> 468 ms at 4 concurrent submits: the first stream waited
+        # on every prefill.)
+        for slot, tok_dev in started:
+            self._admit_finish(slot, int(tok_dev))
 
     def _step(self):
         with self._lock:
