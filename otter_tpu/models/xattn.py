@@ -28,19 +28,22 @@ class MaskedCrossAttention(nn.Module):
     heads: int = 8
     only_attend_immediate_media: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: str = None    # int8: q/kv/out projections at 1 byte/weight
 
     @nn.compact
     def __call__(self, x, media, q_ids=None, kv_ids=None, out_keep=None):
         """x: [B, S_txt, D_txt]; media: [B, T_img, n, D_vis];
         q_ids: [B, S_txt] text_time; kv_ids: [B, T_img*n] media_time."""
+        from otter_tpu.ops.quant import make_dense
         inner = self.dim_head * self.heads
         b, t_img, n, _ = media.shape
+        dense = lambda feat, name: make_dense(
+            self.quant, feat, use_bias=False, dtype=self.dtype, name=name)
 
         x_n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_n)
+        q = dense(inner, "to_q")(x_n)
         media_flat = media.reshape(b, t_img * n, -1)
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
-                      name="to_kv")(media_flat)
+        kv = dense(inner * 2, "to_kv")(media_flat)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split(t):
@@ -56,8 +59,7 @@ class MaskedCrossAttention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
         if out_keep is not None:
             out = out * out_keep[..., None].astype(out.dtype)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="to_out")(out)
+        return dense(self.dim, "to_out")(out)
 
 
 class GatedCrossAttentionBlock(nn.Module):
@@ -82,7 +84,8 @@ class GatedCrossAttentionBlock(nn.Module):
                              jnp.float32)
         attn = MaskedCrossAttention(
             self.dim, self.dim_visual, self.dim_head, self.heads,
-            self.only_attend_immediate_media, self.dtype, name="attn")(
+            self.only_attend_immediate_media, self.dtype,
+            quant=self.quant, name="attn")(
                 x, media, q_ids, kv_ids, out_keep)
         x = attn * jnp.tanh(attn_gate).astype(x.dtype) + x
 

@@ -380,7 +380,8 @@ def quantize_kernel(w: np.ndarray):
 
 DEFAULT_QUANT_PATTERNS = re.compile(
     r"(.*/)?(layers_\d+/(attn|ffn)/[^/]+"
-    r"|xattn_\d+/(ff_up|ff_down))/kernel$")
+    r"|xattn_\d+/(ff_up|ff_down)"
+    r"|xattn_\d+/attn/(to_q|to_kv|to_out))/kernel$")
 
 
 def quantize_params(params: Any,

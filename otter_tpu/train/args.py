@@ -44,7 +44,9 @@ class TrainArgs:
     weight_decay: float = 0.1
     gradient_checkpointing: bool = False
     adam_mu_bf16: bool = False         # first moment in bf16 (saves HBM)
-    fused_ce_chunk: int = 0            # >0: chunked CE, no [B,S,V] logits
+    # chunked fused CE (no [B,S,V] logits materialized; grads bit-match
+    # the standard path — tests/test_train.py). 0 opts out.
+    fused_ce_chunk: int = 256
     mask_lm_head: bool = False
     seed: int = 42
     # parallelism (replaces accelerate/deepspeed YAML)
