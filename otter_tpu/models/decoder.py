@@ -310,24 +310,43 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from otter_tpu.ops.quant import Int8Kernel, int8_mlp, make_dense
+        from otter_tpu.ops.quant import (Int4Dense, Int4Kernel, Int8Kernel,
+                                         int4_mlp, int8_mlp, make_dense)
         c = self.cfg
         use_bias = not c.no_bias
         d_model = x.shape[-1]
         tokens = 1
         for s in x.shape[:-1]:
             tokens *= s
-        # fused int8 decode path: both weight streams in one pallas_call
-        # (1 byte/weight HBM reads + one launch per layer MLP); prefill and
-        # training keep the XLA path (large-M MXU tiling)
-        if (c.quant == "int8" and not use_bias and tokens <= 32
+        # fused int8/int4 decode path: both weight streams in one
+        # pallas_call (1 or 0.5 bytes/weight HBM reads + one launch per
+        # layer MLP); prefill and training keep the XLA path (large-M MXU
+        # tiling)
+        if (c.quant in ("int8", "int4") and not use_bias and tokens <= 32
                 and c.act in ("gelu", "silu", "relu")):
-            kq1, s1 = Int8Kernel(c.mlp_dim, name="up_proj")(d_model)
-            kq2, s2 = Int8Kernel(c.hidden_size, name="down_proj")(c.mlp_dim)
-            y = int8_mlp(x.reshape(tokens, d_model).astype(self.dtype),
-                         kq1, s1, kq2, s2, act=c.act,
-                         interpret=jax.default_backend() != "tpu")
+            flat = x.reshape(tokens, d_model).astype(self.dtype)
+            interp = jax.default_backend() != "tpu"
+            if c.quant == "int4":
+                kq1, s1 = Int4Kernel(c.mlp_dim, pack_axis=0,
+                                     name="up_proj")(d_model)
+                kq2, s2 = Int4Kernel(c.hidden_size, pack_axis=1,
+                                     name="down_proj")(c.mlp_dim)
+                y = int4_mlp(flat, kq1, s1, kq2, s2, act=c.act,
+                             interpret=interp)
+            else:
+                kq1, s1 = Int8Kernel(c.mlp_dim, name="up_proj")(d_model)
+                kq2, s2 = Int8Kernel(c.hidden_size,
+                                     name="down_proj")(c.mlp_dim)
+                y = int8_mlp(flat, kq1, s1, kq2, s2, act=c.act,
+                             interpret=interp)
             return y.reshape(x.shape[:-1] + (c.hidden_size,))
+        if c.quant == "int4" and not use_bias and c.act != "silu_glu":
+            # XLA fallback at prefill/training shapes: in-graph unpack
+            y = Int4Dense(c.mlp_dim, pack_axis=0, dtype=self.dtype,
+                          name="up_proj")(x)
+            y = ACTIVATIONS[c.act](y)
+            return Int4Dense(c.hidden_size, pack_axis=1, dtype=self.dtype,
+                             name="down_proj")(y)
         dense = lambda feat, name: make_dense(
             c.quant, feat, use_bias=use_bias, dtype=self.dtype, name=name)
         if c.act == "silu_glu":

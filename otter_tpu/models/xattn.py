@@ -94,18 +94,30 @@ class GatedCrossAttentionBlock(nn.Module):
         tokens = 1
         for s in y.shape[:-1]:
             tokens *= s
-        if self.quant == "int8":
-            from otter_tpu.ops.quant import (Int8Dense, Int8Kernel,
-                                             int8_mlp)
-            if tokens <= 32:   # decode: one fused launch, 1 byte/weight
-                kq1, s1 = Int8Kernel(self.dim * self.ff_mult,
-                                     name="ff_up")(self.dim)
-                kq2, s2 = Int8Kernel(self.dim, name="ff_down")(
+        if self.quant in ("int8", "int4"):
+            from otter_tpu.ops.quant import (Int4Dense, Int4Kernel,
+                                             Int8Dense, Int8Kernel,
+                                             int4_mlp, int8_mlp)
+            four = self.quant == "int4"
+            if tokens <= 32:   # decode: one fused launch, 1 or 0.5 B/weight
+                KH, mlp_fn = ((Int4Kernel, int4_mlp) if four
+                              else (Int8Kernel, int8_mlp))
+                kw1 = {"pack_axis": 0} if four else {}
+                kw2 = {"pack_axis": 1} if four else {}
+                kq1, s1 = KH(self.dim * self.ff_mult,
+                             name="ff_up", **kw1)(self.dim)
+                kq2, s2 = KH(self.dim, name="ff_down", **kw2)(
                     self.dim * self.ff_mult)
-                y = int8_mlp(y.reshape(tokens, self.dim).astype(self.dtype),
-                             kq1, s1, kq2, s2, act="gelu",
-                             interpret=jax.default_backend() != "tpu")
+                y = mlp_fn(y.reshape(tokens, self.dim).astype(self.dtype),
+                           kq1, s1, kq2, s2, act="gelu",
+                           interpret=jax.default_backend() != "tpu")
                 y = y.reshape(x.shape[:-1] + (self.dim,))
+            elif four:         # prefill/training: XLA in-graph unpack
+                y = Int4Dense(self.dim * self.ff_mult, pack_axis=0,
+                              dtype=self.dtype, name="ff_up")(y)
+                y = gelu(y)
+                y = Int4Dense(self.dim, pack_axis=1, dtype=self.dtype,
+                              name="ff_down")(y)
             else:              # prefill/training: XLA convert-then-dot
                 y = Int8Dense(self.dim * self.ff_mult, use_bias=False,
                               dtype=self.dtype, name="ff_up")(y)

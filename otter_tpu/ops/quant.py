@@ -364,7 +364,10 @@ class Int8Dense(nn.Module):
 
 def make_dense(quant: Optional[str], features: int, *, use_bias: bool,
                dtype, name: str):
-    if quant == "int8":
+    # "int4" also routes plain denses through Int8Dense: only the fused
+    # MLP pairs are packed to 4 bits (quantize_params_int4) — attention
+    # projections stay int8 (no packed-int4 XLA fast path worth it)
+    if quant in ("int8", "int4"):
         return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
@@ -415,3 +418,204 @@ def quantize_kv(x: jnp.ndarray):
 def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray,
                   dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+# ── int4 weight-only (fused MLP path) ────────────────────────────────
+
+def quantize_kernel_int4(w: np.ndarray, pack_axis: int = 0):
+    """Symmetric per-output-channel int4 ([-7, 7]) with nibble packing.
+
+    w [in, out] -> (packed int8, scale [out] f32). pack_axis selects the
+    HALF-AND-HALF pairing that keeps the fused kernel's block streaming
+    intact (a block must contain both nibbles of every element it needs):
+
+      pack_axis=0: byte[i, o]   = w[i, o] | w[i + in/2, o] << 4
+                   (packed [in/2, out]; use when the kernel blocks the
+                   OUT dim and streams full in-columns — the up-proj)
+      pack_axis=1: byte[i, o]   = w[i, o] | w[i, o + out/2] << 4
+                   (packed [in, out/2]; use when the kernel blocks the
+                   IN dim and streams full out-rows — the down-proj)
+    """
+    w = np.asarray(w, np.float32)
+    amax = np.abs(w).max(axis=0)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale[None, :]), -7, 7).astype(np.int8)
+    if pack_axis == 0:
+        half = q.shape[0] // 2
+        lo, hi = q[:half], q[half:]
+    else:
+        half = q.shape[1] // 2
+        lo, hi = q[:, :half], q[:, half:]
+    packed = ((lo.astype(np.uint8) & 0x0F)
+              | (hi.astype(np.uint8) << 4)).astype(np.int8)
+    return packed, scale
+
+
+def unpack_int4(packed: jnp.ndarray, pack_axis: int = 0) -> jnp.ndarray:
+    """Inverse of the packing above -> int8 values in original order.
+    Shift arithmetic runs in int32 (Mosaic-safe) and sign-extends both
+    nibbles."""
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28
+    hi = p >> 4
+    return jnp.concatenate([lo, hi], axis=pack_axis).astype(jnp.int8)
+
+
+class Int4Kernel(nn.Module):
+    """Param holder for a packed int4 kernel + per-channel scale."""
+
+    features: int
+    pack_axis: int = 0
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        shape = ((in_features // 2, self.features) if self.pack_axis == 0
+                 else (in_features, self.features // 2))
+        kq = self.param("kernel_q4", nn.initializers.zeros, shape,
+                        jnp.int8)
+        sq = self.param("scale_q", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        return kq, sq
+
+
+def int4_mlp(x: jnp.ndarray, w1p: jnp.ndarray, s1: jnp.ndarray,
+             w2p: jnp.ndarray, s2: jnp.ndarray, *, act: str = "gelu",
+             block_h: int = 512, interpret: bool = False) -> jnp.ndarray:
+    """int4 variant of `int8_mlp`: both weight streams at 0.5
+    bytes/weight. w1p [K/2, H] (pack_axis=0), w2p [H, N/2] (pack_axis=1)
+    — each grid step's blocks carry both nibbles of every element they
+    need, so the unpack is one in-register concat per block."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    m, k = x.shape
+    k2, h = w1p.shape
+    h2, n2 = w2p.shape
+    n = n2 * 2
+    assert k == k2 * 2 and h == h2, (x.shape, w1p.shape, w2p.shape)
+    assert s1.shape == (h,) and s2.shape == (n,)
+    bh = min(block_h, h)
+    while h % bh:
+        bh //= 2
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    s1_2d = s1.reshape(1, h).astype(jnp.float32)
+    s2_2d = s2.reshape(1, n).astype(jnp.float32)
+
+    def _erf(z):
+        sign = jnp.sign(z)
+        z = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * z)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        return sign * (1.0 - poly * jnp.exp(-z * z))
+
+    def _gelu(z):
+        return z * 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+
+    act_fn = {"gelu": _gelu, "relu": jax.nn.relu,
+              "silu": jax.nn.silu}[act]
+
+    def kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, o_ref, acc):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        w1 = unpack_int4(w1_ref[...], 0).astype(x_ref.dtype)
+        hblk = lax.dot_general(
+            x_ref[...], w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hblk = act_fn(hblk * s1_ref[...])
+        w2 = unpack_int4(w2_ref[...], 1).astype(x_ref.dtype)
+        acc[...] += lax.dot_general(
+            hblk.astype(x_ref.dtype), w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(j == pl.num_programs(0) - 1)
+        def _():
+            o_ref[...] = (acc[...] * s2_ref[...]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(h // bh,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k), lambda j: (0, 0)),
+            pl.BlockSpec((k // 2, bh), lambda j: (0, j)),
+            pl.BlockSpec((1, bh), lambda j: (0, j)),
+            pl.BlockSpec((bh, n // 2), lambda j: (j, 0)),
+            pl.BlockSpec((1, n), lambda j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, n), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, w1p, s1_2d, w2p, s2_2d)
+    return out[:m]
+
+
+def quantize_params_int4(params: Any) -> Any:
+    """int4-pack the fused-MLP weight pairs (decoder ffn up/down, xattn
+    ff_up/ff_down) and int8-quantize the attention projections (the XLA
+    convert-then-dot path has no packed-int4 fast path worth using).
+    Matches the param tree of TextConfig.quant="int4" models."""
+    # int4 covers the two-matmul MLPs (mpt/mosaic/falcon/persimmon +
+    # xattn FF); silu_glu (llama) keeps int8 — its gate/up/down triple
+    # has no fused int4 path
+    up_pat = re.compile(
+        r"(.*/)?(layers_\d+/ffn/up_proj"
+        r"|xattn_\d+/ff_up)/kernel$")
+    down_pat = re.compile(
+        r"(.*/)?(layers_\d+/ffn/down_proj|xattn_\d+/ff_down)/kernel$")
+    attn_pat = re.compile(
+        r"(.*/)?(layers_\d+/attn/[^/]+"
+        r"|xattn_\d+/attn/(to_q|to_kv|to_out))/kernel$")
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for key, v in flat.items():
+        base = key[: -len("kernel")]
+        if up_pat.match(key) or down_pat.match(key):
+            axis = 0 if up_pat.match(key) else 1
+            q, scale = quantize_kernel_int4(np.asarray(v), pack_axis=axis)
+            out[base + "kernel_q4"] = jnp.asarray(q)
+            out[base + "scale_q"] = jnp.asarray(scale)
+        elif attn_pat.match(key):
+            q, scale = quantize_kernel(np.asarray(v))
+            out[base + "kernel_q"] = jnp.asarray(q)
+            out[base + "scale_q"] = jnp.asarray(scale)
+        else:
+            out[key] = v
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
+class Int4Dense(nn.Module):
+    """XLA fallback for packed-int4 kernels (prefill/training shapes):
+    unpack to int8 in-graph, convert-then-dot like Int8Dense."""
+
+    features: int
+    pack_axis: int = 0
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        shape = ((in_features // 2, self.features) if self.pack_axis == 0
+                 else (in_features, self.features // 2))
+        kq = self.param("kernel_q4", nn.initializers.zeros, shape,
+                        jnp.int8)
+        sq = self.param("scale_q", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        w = unpack_int4(kq, self.pack_axis).astype(self.dtype)
+        y = jnp.dot(x.astype(self.dtype), w)
+        y = y * sq.astype(self.dtype)[None, :]
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,),
+                               jnp.float32).astype(self.dtype)
+        return y

@@ -553,7 +553,10 @@ def main():
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--limit-model-concurrency", type=int, default=5)
     p.add_argument("--load-bit", default="bf16",
-                   choices=["bf16", "fp32", "int8"])
+                   choices=["bf16", "fp32", "int8", "int4"],
+                   help="int8: weight-only int8 decoder kernels; int4: "
+                        "additionally nibble-packs the MLP pairs (0.5 "
+                        "B/weight, mpt/mosaic/falcon/persimmon archs)")
     p.add_argument("--no-register", action="store_true")
     p.add_argument("--continuous-batching", action="store_true",
                    help="multiplex concurrent requests through one shared "
@@ -586,10 +589,10 @@ def main():
     # serving default: route long caches through the Pallas decode kernel
     cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
-             "int8": jnp.bfloat16}[args.load_bit]
-    quantize = args.load_bit == "int8"
+             "int8": jnp.bfloat16, "int4": jnp.bfloat16}[args.load_bit]
+    quantize = args.load_bit in ("int8", "int4")
     if quantize:
-        cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
+        cfg = cfg.replace(text=cfg.text.replace(quant=args.load_bit))
     model = OtterVLM(cfg, dtype=dtype)
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
 
@@ -610,8 +613,11 @@ def main():
     params = load_otter_checkpoint(args.checkpoint, load_cfg, params,
                                    dtype=dtype)
     if quantize:
-        from otter_tpu.ops.quant import quantize_params
-        params = {"params": quantize_params(params["params"])}
+        from otter_tpu.ops.quant import (quantize_params,
+                                         quantize_params_int4)
+        qfn = (quantize_params_int4 if args.load_bit == "int4"
+               else quantize_params)
+        params = {"params": qfn(params["params"])}
     cache_dtype = jnp.int8 if args.cache_bit == "int8" else jnp.bfloat16
     if args.continuous_batching:
         from otter_tpu.generation.batching import ContinuousBatcher

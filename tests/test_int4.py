@@ -1,0 +1,99 @@
+"""int4 weight-only MLP path: nibble pack/unpack, the fused int4_mlp
+kernel vs a dequantized reference, the XLA Int4Dense fallback, and an
+end-to-end int4 decoder decode. Serving parity with the reference's
+bitsandbytes 4-bit `load_bit` (`pipeline/serve/model_worker.py:91-100`),
+TPU-native at 0.5 bytes/weight."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otter_tpu.ops.quant import (Int4Dense, int4_mlp, quantize_kernel_int4,
+                                 quantize_params_int4, unpack_int4)
+
+
+def test_int4_pack_roundtrip(rng):
+    w = rng.standard_normal((32, 48)).astype(np.float32)
+    for axis in (0, 1):
+        packed, scale = quantize_kernel_int4(w, pack_axis=axis)
+        assert packed.shape == ((16, 48) if axis == 0 else (32, 24))
+        q = np.asarray(unpack_int4(jnp.asarray(packed), axis))
+        assert q.min() >= -7 and q.max() <= 7
+        back = q.astype(np.float32) * scale[None, :]
+        # quantization error bounded by scale/2 per element
+        assert (np.abs(back - w) <= scale[None, :] * 0.5 + 1e-6).all()
+
+
+def test_int4_mlp_matches_dequantized_reference(rng):
+    m, k, h, n = 4, 64, 256, 64
+    w1 = rng.standard_normal((k, h)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((h, n)).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w1p, s1 = quantize_kernel_int4(w1, 0)
+    w2p, s2 = quantize_kernel_int4(w2, 1)
+
+    out = int4_mlp(x, jnp.asarray(w1p), jnp.asarray(s1),
+                   jnp.asarray(w2p), jnp.asarray(s2), act="gelu",
+                   block_h=128, interpret=True)
+
+    w1d = np.asarray(unpack_int4(jnp.asarray(w1p), 0),
+                     np.float32) * s1[None, :]
+    w2d = np.asarray(unpack_int4(jnp.asarray(w2p), 1),
+                     np.float32) * s2[None, :]
+    ref = jnp.dot(jax.nn.gelu(jnp.dot(x, w1d), approximate=False), w2d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_int4_dense_fallback_matches_kernel_path(rng):
+    """The XLA unpack path (prefill shapes) equals the dequantized dot."""
+    k, n = 64, 96
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    x = jnp.asarray(rng.standard_normal((3, k)), jnp.float32)
+    for axis in (0, 1):
+        wp, s = quantize_kernel_int4(w, pack_axis=axis)
+        m = Int4Dense(n, pack_axis=axis, dtype=jnp.float32)
+        params = {"params": {"kernel_q4": jnp.asarray(wp),
+                             "scale_q": jnp.asarray(s)}}
+        out = m.apply(params, x)
+        wd = np.asarray(unpack_int4(jnp.asarray(wp), axis),
+                        np.float32) * s[None, :]
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(jnp.dot(x, wd)),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_int4_decoder_decode(rng):
+    """Tiny MPT decoder with quant=int4: quantize_params_int4 produces the
+    tree the modules declare, cached decode runs, and logits stay close
+    to the bf16 model (int4 error at tiny dims)."""
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.decoder import Decoder, init_cache
+
+    cfg = OtterConfig.tiny("mpt").text
+    m_bf = Decoder(cfg)
+    b, s, L = 1, 8, 16
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    params = m_bf.init(jax.random.PRNGKey(0), ids)
+
+    q_params = {"params": quantize_params_int4(params["params"])}
+    flat = jax.tree_util.tree_leaves_with_path(q_params)
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert any("kernel_q4" in n for n in names)
+
+    m_q = Decoder(cfg.replace(quant="int4"))
+    ref_logits, _ = m_bf.apply(params, ids)
+
+    # prefill (XLA Int4Dense fallback) + one cached decode step (fused
+    # int4_mlp kernel in interpret mode)
+    cache = init_cache(cfg, b, L, jnp.float32)
+    lg, cache = m_q.apply(q_params, ids, cache=cache)
+    np.testing.assert_allclose(np.asarray(lg[:, -1]),
+                               np.asarray(ref_logits[:, -1]),
+                               atol=0.35, rtol=0.35)
+
+    kv_valid = jnp.arange(L)[None, :] <= s
+    lg2, _ = m_q.apply(q_params, ids[:, -1:], cache=cache, cache_pos=s,
+                       kv_valid=kv_valid,
+                       positions=jnp.full((b, 1), s, jnp.int32))
+    assert np.isfinite(np.asarray(lg2)).all()

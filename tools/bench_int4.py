@@ -1,0 +1,107 @@
+"""Otter-MPT7B INT4 (MLP nibble-packed + int8 attn) decode throughput.
+
+Secondary to bench.py (the scored int8 metric): measures the 0.5
+bytes/weight MLP path. Same marginal-step methodology.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: STEADY-STATE decode tokens/sec on Otter-MPT7B with the int8
+weight-only decoder (batch 8, 128-token prompt + 1 image, cache 256) —
+BASELINE.md's north star ("tokens/sec decode on Otter-MPT7B"). Measured as
+the marginal cost of extra decode steps (two generate windows differing
+only in max_new_tokens, same cache length), which excludes the one-time
+prefill + vision encode the way TTFT/decode are reported separately in
+production serving. vs_baseline is the HBM speed-of-light for the decode
+step (all weight + KV-cache bytes at 819 GB/s on v5e).
+
+The previous driver metric (Flamingo-MPT-1B full-window generate) lives on
+in bench_1b.py.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from otter_tpu.config import GenerationConfig, otter_mpt7b
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.runtime.timing import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = otter_mpt7b()
+    cfg = cfg.replace(text=cfg.text.replace(quant="int4"))
+    model = OtterVLM(cfg, dtype=jnp.bfloat16)
+
+    b, p = 8, 128
+    new_short, new_long = 16, 128    # both round to the same 256 cache
+    rng = np.random.default_rng(0)
+    vision_x = jnp.zeros((b, 1, 1, 3, 224, 224), jnp.bfloat16)
+    ids = np.asarray(rng.integers(5, 50000, (b, p)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    lang_x = jnp.asarray(ids)
+
+    # weight values are irrelevant for throughput: zeros on device (random
+    # init through the tunnel takes minutes)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), vision_x,
+                            lang_x)
+
+    def mk(s):
+        if s.dtype == jnp.int8:
+            return jnp.zeros(s.shape, jnp.int8)
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, jnp.bfloat16)
+        return jnp.zeros(s.shape, s.dtype)
+
+    params = jax.tree_util.tree_map(mk, shapes)
+    eng = OtterGenerator(model, params, cfg)
+
+    def window(new):
+        gen = GenerationConfig(max_new_tokens=new, do_sample=False,
+                               eos_token_id=-1)
+        eng.generate(vision_x, lang_x, gen=gen)   # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            eng.generate(vision_x, lang_x, gen=gen)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_short = window(new_short)
+    t_long = window(new_long)
+    step = (t_long - t_short) / (new_long - new_short)
+    tps = b / step
+
+    # speed-of-light: one decode step reads every decode-path weight once
+    # (vision/perceiver excluded: latents cached) + the KV cache
+    n_int8 = sum(x.size for x in jax.tree_util.tree_leaves(params)
+                 if x.dtype == jnp.int8)
+    n_bf16 = sum(x.size for x in jax.tree_util.tree_leaves(params)
+                 if x.dtype == jnp.bfloat16)
+    vis = sum(x.size for kk in ("vision_encoder", "perceiver")
+              for x in jax.tree_util.tree_leaves(params["params"][kk]))
+    decode_bytes = n_int8 + (n_bf16 - vis) * 2
+    cache_len = 256
+    cache_bytes = (cfg.text.num_hidden_layers * 2 * cache_len
+                   * cfg.text.hidden_size * 2)
+    sol_step = (decode_bytes + b * cache_bytes) / 819e9
+    sol_tps = b / sol_step
+
+    print(json.dumps({
+        "metric": "otter_mpt7b_int4_decode_tokens_per_sec_b8",
+        "value": round(tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / sol_tps, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
