@@ -364,9 +364,13 @@ class Int8Dense(nn.Module):
 
 def make_dense(quant: Optional[str], features: int, *, use_bias: bool,
                dtype, name: str):
-    # "int4" also routes plain denses through Int8Dense: only the fused
-    # MLP pairs are packed to 4 bits (quantize_params_int4) — attention
-    # projections stay int8 (no packed-int4 XLA fast path worth it)
+    # int4 models keep their ATTENTION projections at int8: routing them
+    # through the packed-int4 Pallas matmul (Int4AttnDense) measured
+    # SLOWER end-to-end on the 7B (684 vs 722 tok/s) — XLA pipelines its
+    # own dots across the layer better than it schedules around
+    # pallas_call, and at qkv/out sizes the byte saving does not cover
+    # the scheduling penalty (same conclusion as the int8 routing,
+    # commit b04055b). Int4AttnDense/int4_matmul stay as groundwork.
     if quant in ("int8", "int4"):
         return Int8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
@@ -561,9 +565,9 @@ def int4_mlp(x: jnp.ndarray, w1p: jnp.ndarray, s1: jnp.ndarray,
 
 def quantize_params_int4(params: Any) -> Any:
     """int4-pack the fused-MLP weight pairs (decoder ffn up/down, xattn
-    ff_up/ff_down) and int8-quantize the attention projections (the XLA
-    convert-then-dot path has no packed-int4 fast path worth using).
-    Matches the param tree of TextConfig.quant="int4" models."""
+    ff_up/ff_down) AND the unbiased attention projections (qkv/out,
+    xattn to_q/to_kv/to_out); biased attn projections (persimmon) keep
+    int8. Matches the param tree of TextConfig.quant="int4" models."""
     # int4 covers the two-matmul MLPs (mpt/mosaic/falcon/persimmon +
     # xattn FF); silu_glu (llama) keeps int8 — its gate/up/down triple
     # has no fused int4 path
@@ -619,3 +623,80 @@ class Int4Dense(nn.Module):
                                (self.features,),
                                jnp.float32).astype(self.dtype)
         return y
+
+
+def int4_matmul(x: jnp.ndarray, wp: jnp.ndarray, scale: jnp.ndarray,
+                *, block_out: int = 1024,
+                interpret: bool = False) -> jnp.ndarray:
+    """Packed-int4 matmul: x [M, K] @ unpack(wp [K/2, N]) * scale [N].
+
+    Grid walks N blocks with the FULL K in each block (pack_axis=0 pairs
+    row i with i+K/2, so splitting K would separate an element's nibbles);
+    0.5 bytes/weight off HBM, one in-register concat per block. The int8
+    single-matmul Pallas route lost to XLA's convert-then-dot at equal
+    bytes (commit b04055b) — at half bytes the read saving beats the
+    scheduling penalty (measured on the 7B qkv/out, BENCH_NOTES)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax import lax
+
+    m, k = x.shape
+    k2, n = wp.shape
+    assert k == k2 * 2 and scale.shape == (n,)
+    bo = min(block_out, n)
+    while n % bo:
+        bo //= 2
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    scale2d = scale.reshape(1, n).astype(jnp.float32)
+
+    def kernel(x_ref, w_ref, s_ref, o_ref):
+        w = unpack_int4(w_ref[...], 0).astype(x_ref.dtype)
+        acc = lax.dot_general(x_ref[...], w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        o_ref[...] = (acc * s_ref[...]).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // bo,),
+        in_specs=[
+            pl.BlockSpec((m_pad, k), lambda i: (0, 0)),
+            pl.BlockSpec((k // 2, bo), lambda i: (0, i)),
+            pl.BlockSpec((1, bo), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bo), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x, wp, scale2d)
+    return out[:m]
+
+
+class Int4AttnDense(nn.Module):
+    """int4 projection for the attention path: fused Pallas matmul at
+    decode shapes, XLA unpack-dot otherwise. Same param tree as
+    Int4Dense(pack_axis=0)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kq = self.param("kernel_q4", nn.initializers.zeros,
+                        (in_features // 2, self.features), jnp.int8)
+        sq = self.param("scale_q", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        tokens = 1
+        for s in x.shape[:-1]:
+            tokens *= s
+        if tokens <= 32:
+            y = int4_matmul(x.reshape(tokens, in_features)
+                            .astype(self.dtype), kq, sq,
+                            interpret=jax.default_backend() != "tpu")
+            return y.reshape(x.shape[:-1] + (self.features,))
+        w = unpack_int4(kq, 0).astype(self.dtype)
+        return (jnp.dot(x.astype(self.dtype), w)
+                * sq.astype(self.dtype)[None, :])

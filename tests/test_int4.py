@@ -76,13 +76,32 @@ def test_int4_decoder_decode(rng):
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
     params = m_bf.init(jax.random.PRNGKey(0), ids)
 
+    from flax import traverse_util
     q_params = {"params": quantize_params_int4(params["params"])}
-    flat = jax.tree_util.tree_leaves_with_path(q_params)
-    names = {"/".join(str(p) for p in path) for path, _ in flat}
-    assert any("kernel_q4" in n for n in names)
+    q_flat = traverse_util.flatten_dict(q_params["params"], sep="/")
+    assert any(k.endswith("kernel_q4") for k in q_flat)
+
+    # exact reference: the bf16 model run with the DEQUANTIZED weights —
+    # isolates plumbing/kernel correctness from quantization error
+    deq = dict(traverse_util.flatten_dict(params["params"], sep="/"))
+    for k in list(deq):
+        if not k.endswith("/kernel"):
+            continue
+        base = k[: -len("kernel")]
+        if base + "kernel_q4" in q_flat:
+            axis = 1 if "down_proj" in k else 0
+            w = np.asarray(unpack_int4(q_flat[base + "kernel_q4"], axis),
+                           np.float32)
+            deq[k] = jnp.asarray(
+                w * np.asarray(q_flat[base + "scale_q"])[None, :])
+        elif base + "kernel_q" in q_flat:
+            w = np.asarray(q_flat[base + "kernel_q"], np.float32)
+            deq[k] = jnp.asarray(
+                w * np.asarray(q_flat[base + "scale_q"])[None, :])
+    deq_params = {"params": traverse_util.unflatten_dict(deq, sep="/")}
 
     m_q = Decoder(cfg.replace(quant="int4"))
-    ref_logits, _ = m_bf.apply(params, ids)
+    ref_logits, _ = m_bf.apply(deq_params, ids)
 
     # prefill (XLA Int4Dense fallback) + one cached decode step (fused
     # int4_mlp kernel in interpret mode)
@@ -90,7 +109,7 @@ def test_int4_decoder_decode(rng):
     lg, cache = m_q.apply(q_params, ids, cache=cache)
     np.testing.assert_allclose(np.asarray(lg[:, -1]),
                                np.asarray(ref_logits[:, -1]),
-                               atol=0.35, rtol=0.35)
+                               atol=2e-3, rtol=2e-3)
 
     kv_valid = jnp.arange(L)[None, :] <= s
     lg2, _ = m_q.apply(q_params, ids[:, -1:], cache=cache, cache_pos=s,
