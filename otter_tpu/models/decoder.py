@@ -254,10 +254,14 @@ class SelfAttention(nn.Module):
         """decode_kernel: False | True | "auto". "auto" routes long caches
         through the Pallas length-guarded kernel (measured −20% step time at
         L=2048 vs the einsum path, BENCH_NOTES.md) and keeps short caches on
-        XLA einsum (per-(b,h) kernel launch overhead dominates below ~1k)."""
+        XLA einsum (per-(b,h) kernel launch overhead dominates below ~1k).
+        int8 caches always use the kernel: the einsum fallback would
+        materialize a dequantized bf16 copy of the whole cache each step,
+        costing more than the launch overhead at any length."""
         mode = self.cfg.decode_kernel
         if mode == "auto":
-            return cache_k.shape[2] >= 1024
+            return (cache_k.shape[2] >= 1024
+                    or cache_k.dtype == jnp.int8)
         return bool(mode)
 
 
