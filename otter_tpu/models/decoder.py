@@ -257,7 +257,10 @@ class SelfAttention(nn.Module):
         XLA einsum (per-(b,h) kernel launch overhead dominates below ~1k).
         int8 caches always use the kernel: the einsum fallback would
         materialize a dequantized bf16 copy of the whole cache each step,
-        costing more than the launch overhead at any length."""
+        costing more than the launch overhead at any length. (MQA/GQA
+        models where q_heads != kv_heads are gated OFF the kernel by the
+        caller regardless — their caches are kv_heads-sized, so the
+        einsum dequant copy is proportionally tiny.)"""
         mode = self.cfg.decode_kernel
         if mode == "auto":
             return (cache_k.shape[2] >= 1024

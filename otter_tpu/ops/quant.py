@@ -565,25 +565,38 @@ def int4_mlp(x: jnp.ndarray, w1p: jnp.ndarray, s1: jnp.ndarray,
 
 def quantize_params_int4(params: Any) -> Any:
     """int4-pack the fused-MLP weight pairs (decoder ffn up/down, xattn
-    ff_up/ff_down) AND the unbiased attention projections (qkv/out,
-    xattn to_q/to_kv/to_out); biased attn projections (persimmon) keep
-    int8. Matches the param tree of TextConfig.quant="int4" models."""
-    # int4 covers the two-matmul MLPs (mpt/mosaic/falcon/persimmon +
-    # xattn FF); silu_glu (llama) keeps int8 — its gate/up/down triple
-    # has no fused int4 path
+    ff_up/ff_down); ALL attention projections stay int8 (routing them
+    through the packed-int4 Pallas matmul measured slower end-to-end —
+    see make_dense). An ffn pair only packs when the module will load it
+    through the int4 path: un-biased and not part of a silu_glu
+    gate/up/down triple (those fall back to Int8Dense, so their kernels
+    are int8-quantized here too — llama/vicuna int4 therefore degrades
+    gracefully to int8 MLPs). Matches the param tree of
+    TextConfig.quant="int4" models exactly."""
     up_pat = re.compile(
         r"(.*/)?(layers_\d+/ffn/up_proj"
         r"|xattn_\d+/ff_up)/kernel$")
     down_pat = re.compile(
         r"(.*/)?(layers_\d+/ffn/down_proj|xattn_\d+/ff_down)/kernel$")
     attn_pat = re.compile(
-        r"(.*/)?(layers_\d+/attn/[^/]+"
+        r"(.*/)?(layers_\d+/(attn|ffn)/[^/]+"
         r"|xattn_\d+/attn/(to_q|to_kv|to_out))/kernel$")
     flat = traverse_util.flatten_dict(params, sep="/")
+
+    def int4_eligible(key: str) -> bool:
+        base = key[: -len("kernel")]
+        if base + "bias" in flat:                      # persimmon/fuyu ffn
+            return False
+        ffn_dir = base.rsplit("/", 2)[0]
+        if ffn_dir + "/gate_proj/kernel" in flat:      # silu_glu triple
+            return False
+        return True
+
     out = {}
     for key, v in flat.items():
         base = key[: -len("kernel")]
-        if up_pat.match(key) or down_pat.match(key):
+        if (up_pat.match(key) or down_pat.match(key)) \
+                and int4_eligible(key):
             axis = 0 if up_pat.match(key) else 1
             q, scale = quantize_kernel_int4(np.asarray(v), pack_axis=axis)
             out[base + "kernel_q4"] = jnp.asarray(q)

@@ -441,9 +441,12 @@ def _run_idefics_worker(args):
     cfg = idefics9b()
     cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
-             "int8": jnp.bfloat16}[args.load_bit]
-    if args.load_bit == "int8":
-        cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
+             "int8": jnp.bfloat16, "int4": jnp.bfloat16}[args.load_bit]
+    if args.load_bit in ("int8", "int4"):
+        # idefics' silu_glu MLP has no fused int4 path; int4 degrades
+        # gracefully to int8 everywhere (quantize_params_int4 packs
+        # nothing to 4 bits on glu triples)
+        cfg = cfg.replace(text=cfg.text.replace(quant=args.load_bit))
     model = IdeficsVLM(cfg, dtype=dtype)
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     sd = load_state_dict(args.checkpoint)
@@ -453,9 +456,12 @@ def _run_idefics_worker(args):
         lambda x: jnp.asarray(x, dtype)
         if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else
         jnp.asarray(x), params)
-    if args.load_bit == "int8":
-        from otter_tpu.ops.quant import quantize_params
-        params = {"params": quantize_params(params["params"])}
+    if args.load_bit in ("int8", "int4"):
+        from otter_tpu.ops.quant import (quantize_params,
+                                         quantize_params_int4)
+        qfn = (quantize_params_int4 if args.load_bit == "int4"
+               else quantize_params)
+        params = {"params": qfn(params["params"])}
     cache_dtype = jnp.int8 if args.cache_bit == "int8" else jnp.bfloat16
     if args.continuous_batching:
         from otter_tpu.data.templates import (IDEFICS_STANDARD_MEAN,
@@ -496,10 +502,15 @@ def _run_fuyu_worker(args):
     from otter_tpu.models.fuyu import FuyuVLM
 
     cfg = FuyuConfig()
+    # serving default like the other families: Pallas decode kernel for
+    # long caches (OtterHD contexts reach 16k) and always for int8 caches
+    cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
-             "int8": jnp.bfloat16}[args.load_bit]
-    if args.load_bit == "int8":
-        cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
+             "int8": jnp.bfloat16, "int4": jnp.bfloat16}[args.load_bit]
+    if args.load_bit in ("int8", "int4"):
+        # persimmon's biased ffn has no fused int4 path; int4 degrades
+        # gracefully to int8 (quantize_params_int4 skips biased kernels)
+        cfg = cfg.replace(text=cfg.text.replace(quant=args.load_bit))
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     processor = FuyuProcessor(
         tokenizer, FuyuImageProcessor(patch_size=cfg.patch_size),
@@ -510,9 +521,12 @@ def _run_fuyu_worker(args):
                                 dtype=dtype)
     params = {"params": traverse_util.unflatten_dict(
         {k: jnp.asarray(v) for k, v in converted.items()}, sep="/")}
-    if args.load_bit == "int8":
-        from otter_tpu.ops.quant import quantize_params
-        params = {"params": quantize_params(params["params"])}
+    if args.load_bit in ("int8", "int4"):
+        from otter_tpu.ops.quant import (quantize_params,
+                                         quantize_params_int4)
+        qfn = (quantize_params_int4 if args.load_bit == "int4"
+               else quantize_params)
+        params = {"params": qfn(params["params"])}
     resolution = None
     if args.fuyu_resolution:
         h, w = args.fuyu_resolution.lower().split("x")
@@ -555,8 +569,9 @@ def main():
     p.add_argument("--load-bit", default="bf16",
                    choices=["bf16", "fp32", "int8", "int4"],
                    help="int8: weight-only int8 decoder kernels; int4: "
-                        "additionally nibble-packs the MLP pairs (0.5 "
-                        "B/weight, mpt/mosaic/falcon/persimmon archs)")
+                        "additionally nibble-packs un-biased two-matmul "
+                        "MLP pairs (0.5 B/weight — mpt/mosaic/falcon; "
+                        "silu_glu and biased archs degrade to int8)")
     p.add_argument("--no-register", action="store_true")
     p.add_argument("--continuous-batching", action="store_true",
                    help="multiplex concurrent requests through one shared "

@@ -152,9 +152,14 @@ def train(args, tokenizer, *, dataset_types=("laion", "mmc4")):
             total_steps=steps_per_epoch * args.num_epochs,
             weight_decay=args.weight_decay)
         state = TrainState.create(params, cfg, tx)
+        # the "laion slot" carries whichever image-text-pair source is
+        # configured; CC3M uses its own multiplier (reference
+        # pretraining_cc3m.py:101 default 1.0, vs LAION's 0.2)
+        pair_mult = (args.loss_multiplier_laion if "laion" in datas
+                     else getattr(args, "loss_multiplier_cc3m", 1.0))
         step_fn = jax.jit(make_pretrain_step(
             model, cfg, tx,
-            loss_multiplier_laion=args.loss_multiplier_laion,
+            loss_multiplier_laion=pair_mult,
             loss_multiplier_mmc4=args.loss_multiplier_mmc4),
             static_argnames=("attend_prev",), donate_argnums=(0,))
 
@@ -224,6 +229,7 @@ class PretrainArgs:
     mmc4_textsim_threshold: float = 0.24
     loss_multiplier_laion: float = 0.2
     loss_multiplier_mmc4: float = 1.0
+    loss_multiplier_cc3m: float = 1.0  # pretraining_cc3m.py:101
     model_config: str = "mpt1b"
     tokenizer: str = ""
     workers: int = 4

@@ -116,3 +116,47 @@ def test_int4_decoder_decode(rng):
                        kv_valid=kv_valid,
                        positions=jnp.full((b, 1), s, jnp.int32))
     assert np.isfinite(np.asarray(lg2)).all()
+
+
+def test_int4_silu_glu_degrades_to_int8(rng):
+    """llama-family (silu_glu gate/up/down) models under quant=int4 must
+    load and run: quantize_params_int4 leaves their MLP at int8 and the
+    module side matches (code-review finding: the earlier pattern packed
+    up_proj to int4 while the module expected kernel_q -> crash)."""
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.decoder import Decoder
+
+    cfg = OtterConfig.tiny("llama").text
+    m_bf = Decoder(cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)), jnp.int32)
+    params = m_bf.init(jax.random.PRNGKey(0), ids)
+
+    q_params = {"params": quantize_params_int4(params["params"])}
+    from flax import traverse_util
+    q_flat = traverse_util.flatten_dict(q_params["params"], sep="/")
+    assert not any(k.endswith("kernel_q4") for k in q_flat)  # all int8
+    assert any(k.endswith("kernel_q") for k in q_flat)
+
+    m_q = Decoder(cfg.replace(quant="int4"))
+    lg, _ = m_q.apply(q_params, ids)       # must not raise
+    assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_int4_biased_ffn_degrades_to_int8(rng):
+    """persimmon (biased ffn) under quant=int4 stays int8 and runs."""
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.decoder import Decoder
+
+    cfg = OtterConfig.tiny("persimmon").text
+    m_bf = Decoder(cfg)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)), jnp.int32)
+    params = m_bf.init(jax.random.PRNGKey(0), ids)
+
+    q_params = {"params": quantize_params_int4(params["params"])}
+    from flax import traverse_util
+    q_flat = traverse_util.flatten_dict(q_params["params"], sep="/")
+    assert not any(k.endswith("kernel_q4") for k in q_flat)
+
+    m_q = Decoder(cfg.replace(quant="int4"))
+    lg, _ = m_q.apply(q_params, ids)
+    assert np.isfinite(np.asarray(lg)).all()
