@@ -1,0 +1,117 @@
+"""OtterHD/Fuyu-8B variable-resolution prefill + decode (BASELINE.json
+config #4): a full-HD 1080x1920 image is 36x64 = 2304 patches (+36
+newline tokens) straight into the token stream — the encoder-free path
+whose training-throughput claim is the reference's headline benchmark.
+int8 weights (8B persimmon; embeddings/lm_head stay bf16), b1.
+
+Usage: bench_otterhd.py [HxW] (default 1080x1920)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+RELAY_MS = 28.7
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.models.decoder import init_cache
+    from otter_tpu.models.fuyu import FuyuVLM
+    from otter_tpu.runtime.timing import enable_compile_cache
+
+    enable_compile_cache()
+    res = sys.argv[1] if len(sys.argv) > 1 else "1080x1920"
+    H, W = (int(v) for v in res.lower().split("x"))
+    cfg = FuyuConfig()
+    cfg = cfg.replace(text=cfg.text.replace(quant="int8",
+                                            decode_kernel="auto"))
+    ps = cfg.patch_size
+    rows, cols = -(-H // ps), -(-W // ps)
+    n_patches = rows * cols
+    prompt = 16
+    s = n_patches + rows + prompt          # patches + newlines + text
+    patch_dim = ps * ps * 3
+
+    rng = np.random.default_rng(0)
+    patches = jnp.zeros((1, n_patches, patch_dim), jnp.bfloat16)
+    ids = np.asarray(rng.integers(5, 250000, (1, s)), np.int32)
+    indices = np.full((1, s), -1, np.int64)
+    pos = 0
+    for r in range(rows):
+        indices[0, pos:pos + cols] = np.arange(r * cols, (r + 1) * cols)
+        ids[0, pos + cols] = cfg.image_newline_id
+        pos += cols + 1
+    indices = jnp.asarray(indices.astype(np.int32))
+    lang_x = jnp.asarray(ids)
+    mask = jnp.ones((1, s), jnp.int32)
+
+    model = FuyuVLM(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), lang_x,
+        image_patches=patches, image_patches_indices=indices)
+    params = jax.tree_util.tree_map(
+        lambda sh: jnp.zeros(sh.shape, sh.dtype if not jnp.issubdtype(
+            sh.dtype, jnp.floating) else jnp.bfloat16), shapes)
+    n_gb = sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(params)) / 1e9
+
+    L = -(-(s + 64) // 128) * 128
+    positions = jnp.cumsum(mask, -1) - 1
+
+    @jax.jit
+    def prefill(params, ids, patches, indices, mask):
+        cache = init_cache(cfg.text, 1, L, jnp.bfloat16)
+        logits, cache = model.apply(
+            params, ids, image_patches=patches,
+            image_patches_indices=indices, attention_mask=mask,
+            positions=positions, cache=cache)
+        return jnp.argmax(logits[:, -1], -1), cache
+
+    def timed(f, n=3):
+        f()
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_pre = timed(lambda: np.asarray(
+        prefill(params, lang_x, patches, indices, mask)[0])) * 1e3
+
+    # decode: fori_loop of cached steps, marginal
+    _, cache0 = prefill(params, lang_x, patches, indices, mask)
+    kv_valid = jnp.arange(L)[None, :] < s
+
+    def build(n):
+        @jax.jit
+        def run(params, tok, cache):
+            def body(i, carry):
+                tok, cache = carry
+                logits, cache = model.apply(
+                    params, tok, cache=cache, cache_pos=s,
+                    kv_valid=kv_valid,
+                    positions=jnp.full((1, 1), s, jnp.int32))
+                return (jnp.argmax(logits[:, -1:], -1).astype(jnp.int32),
+                        cache)
+            tok, _ = lax.fori_loop(0, n, body, (tok, cache))
+            return tok
+        return lambda: np.asarray(run(params, jnp.zeros((1, 1), jnp.int32),
+                                      cache0))
+
+    t1, tn = timed(build(1)), timed(build(21))
+    step = (tn - t1) / 20
+    print(f"otterhd-8b int8 ({n_gb:.1f} GB params) {H}x{W} "
+          f"({n_patches} patches, seq {s}): prefill "
+          f"{t_pre - RELAY_MS:.0f} ms, decode {1 / step:.1f} tok/s")
+
+
+if __name__ == "__main__":
+    main()
