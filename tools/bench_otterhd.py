@@ -29,9 +29,10 @@ def main():
     enable_compile_cache()
     res = sys.argv[1] if len(sys.argv) > 1 else "1080x1920"
     H, W = (int(v) for v in res.lower().split("x"))
+    dk = "auto" if "einsum" not in sys.argv[2:] else False
     cfg = FuyuConfig()
     cfg = cfg.replace(text=cfg.text.replace(quant="int8",
-                                            decode_kernel="auto"))
+                                            decode_kernel=dk))
     ps = cfg.patch_size
     rows, cols = -(-H // ps), -(-W // ps)
     n_patches = rows * cols
