@@ -129,6 +129,11 @@ class TextConfig(_JsonMixin):
     # weight-only quantization of decoder attn/ffn kernels: None | "int8"
     # (serving load_bit parity, model_worker.py:91-100)
     quant: Optional[str] = None
+    # gated-xattn blocks' quant policy: "follow" mirrors `quant` (serving —
+    # the fused int8 xattn FF was a measured win); None keeps xattn bf16
+    # while the frozen decoder is int8 (the single-chip 7B SFT recipe:
+    # xattn is TRAINABLE, only frozen towers quantize)
+    quant_xattn: Any = "follow"
     # LoRA adapters on the per-arch target projections (enable_lora parity,
     # modeling_otter.py:808-829); 0 disables
     lora_rank: int = 0

@@ -202,27 +202,34 @@ class SelfAttention(nn.Module):
             if getattr(cache_pos, "ndim", 0) == 1:
                 assert s == 1, "per-row cache_pos requires q_len == 1"
             new_cache = write_cache(cache, k, v, cache_pos)
-            ckl, cvl = new_cache["k"][:, layer], new_cache["v"][:, layer]
-            if self._use_decode_kernel(ckl) and s == 1 \
-                    and q.shape[1] == ckl.shape[1]:
-                # Pallas decode kernel: reads only valid cache blocks;
-                # int8 caches dequantize in-register inside the kernel
+            if self._use_decode_kernel(new_cache["k"]) and s == 1 \
+                    and q.shape[1] == new_cache["k"].shape[2]:
+                # Pallas decode kernel on the STACKED cache: the layer is
+                # selected inside the BlockSpec index map, so the kernel
+                # reads its blocks straight from the stacked buffer —
+                # slicing `cache[:, layer]` outside is a strided slice XLA
+                # materializes (one full extra cache read+write per step,
+                # ~1.2 ms on the 7B at b8). Valid blocks only; int8 caches
+                # dequantize in-register.
                 from otter_tpu.ops.decode_attention import decode_attention
-                L = ckl.shape[2]
+                L = new_cache["k"].shape[3]
                 idx = jnp.arange(L)[None, :]
                 valid = kv_valid.astype(bool)
                 lengths = jnp.max(jnp.where(valid, idx + 1, 0), axis=-1)
                 starts = jnp.min(jnp.where(valid, idx, L), axis=-1)
                 b2 = bias[:, :, 0, :] if bias is not None and \
                     bias.ndim == 4 else bias
-                scales = ({"k_scale": new_cache["k_scale"][:, layer],
-                           "v_scale": new_cache["v_scale"][:, layer]}
+                scales = ({"k_scale": new_cache["k_scale"],
+                           "v_scale": new_cache["v_scale"]}
                           if quant_cache else {})
                 out = decode_attention(
-                    q[:, :, 0, :], ckl, cvl, lengths, b2, starts=starts,
+                    q[:, :, 0, :], new_cache["k"], new_cache["v"], lengths,
+                    b2, starts=starts, layer=layer,
                     sm_scale=self._scale(), **scales,
                     interpret=jax.default_backend() != "tpu")[:, :, None, :]
             else:
+                ckl = new_cache["k"][:, layer]
+                cvl = new_cache["v"][:, layer]
                 if quant_cache:
                     from otter_tpu.ops.quant import dequantize_kv
                     ckl = dequantize_kv(ckl, new_cache["k_scale"][:, layer],
@@ -263,7 +270,7 @@ class SelfAttention(nn.Module):
         einsum dequant copy is proportionally tiny.)"""
         mode = self.cfg.decode_kernel
         if mode == "auto":
-            return (cache_k.shape[2] >= 1024
+            return (cache_k.shape[3] >= 1024
                     or cache_k.dtype == jnp.int8)
         return bool(mode)
 
@@ -328,18 +335,31 @@ class MLP(nn.Module):
         # fused int8/int4 decode path: both weight streams in one
         # pallas_call (1 or 0.5 bytes/weight HBM reads + one launch per
         # layer MLP); prefill and training keep the XLA path (large-M MXU
-        # tiling)
-        if (c.quant in ("int8", "int4") and not use_bias and tokens <= 32
-                and c.act in ("gelu", "silu", "relu")):
+        # tiling). int8 also covers biased + sq_relu MLPs (persimmon:
+        # biases everywhere, squared-ReLU — fuyu/modeling_persimmon.py:
+        # 173-193); int4 packing stays bias-free (quantize_params_int4
+        # keeps biased ffns at int8).
+        fused_int8 = (c.quant == "int8" and tokens <= 32
+                      and c.act in ("gelu", "silu", "relu", "sq_relu"))
+        fused_int4 = (c.quant == "int4" and not use_bias and tokens <= 32
+                      and c.act in ("gelu", "silu", "relu"))
+        if fused_int8 or fused_int4:
             flat = x.reshape(tokens, d_model).astype(self.dtype)
             interp = jax.default_backend() != "tpu"
-            if c.quant == "int4":
+            if fused_int4:
                 kq1, s1 = Int4Kernel(c.mlp_dim, pack_axis=0,
                                      name="up_proj")(d_model)
                 kq2, s2 = Int4Kernel(c.hidden_size, pack_axis=1,
                                      name="down_proj")(c.mlp_dim)
                 y = int4_mlp(flat, kq1, s1, kq2, s2, act=c.act,
                              interpret=interp)
+            elif use_bias:
+                kq1, s1, bb1 = Int8Kernel(c.mlp_dim, use_bias=True,
+                                          name="up_proj")(d_model)
+                kq2, s2, bb2 = Int8Kernel(c.hidden_size, use_bias=True,
+                                          name="down_proj")(c.mlp_dim)
+                y = int8_mlp(flat, kq1, s1, kq2, s2, act=c.act,
+                             b1=bb1, b2=bb2, interpret=interp)
             else:
                 kq1, s1 = Int8Kernel(c.mlp_dim, name="up_proj")(d_model)
                 kq2, s2 = Int8Kernel(c.hidden_size,
@@ -567,7 +587,8 @@ class Decoder(nn.Module):
                     dim_head=oc.xattn_dim_head, heads=oc.xattn_heads,
                     ff_mult=oc.xattn_ff_mult,
                     only_attend_immediate_media=oc.only_attend_immediate_media,
-                    quant=c.quant,
+                    quant=(c.quant if c.quant_xattn == "follow"
+                           else c.quant_xattn),
                     dtype=self.dtype, name=f"xattn_{i}")(
                         x, vis_latents, xattn_q_ids, xattn_kv_ids,
                         xattn_out_keep)
@@ -588,8 +609,32 @@ class Decoder(nn.Module):
         if c.tie_embeddings:
             logits = embed.attend(x)
         else:
-            logits = nn.Dense(c.total_vocab, use_bias=False,
-                              dtype=self.dtype, name="lm_head")(x)
+            # untied heads follow the weight-quant policy: at decode the
+            # head read is pure bandwidth (fuyu's 262k-vocab bf16 head was
+            # 2.1 GB of the per-step read — the single largest OtterHD
+            # decode cost, BENCH_NOTES r2); int8 halves it. Quality delta
+            # measured by tools/bench_quant_quality.py.
+            from otter_tpu.ops.quant import (Int8Kernel, int8_matmul,
+                                             make_dense)
+            tokens = b * s
+            if c.quant in ("int8", "int4") and tokens <= 32:
+                # decode-shaped head through the Pallas int8 matmul: XLA's
+                # convert-then-dot at M=1 read the fuyu head at only
+                # ~173 GB/s (6.2 ms/step measured); the streamed kernel
+                # reads it at 1 byte/weight in ~256 x 4 MB blocks. (The
+                # "single-matmul Pallas routing loses" result is about
+                # mid-layer dots XLA can pipeline with neighbors — the
+                # head is terminal, nothing overlaps it.)
+                kq, sq = Int8Kernel(c.total_vocab, name="lm_head")(
+                    c.hidden_size)
+                flat = x.reshape(tokens, c.hidden_size).astype(self.dtype)
+                logits = int8_matmul(
+                    flat, kq, sq, block_out=1024, block_in=4096,
+                    interpret=jax.default_backend() != "tpu"
+                ).reshape(b, s, c.total_vocab)
+            else:
+                logits = make_dense(c.quant, c.total_vocab, use_bias=False,
+                                    dtype=self.dtype, name="lm_head")(x)
         if c.logit_scale is not None:
             logits = logits * c.logit_scale
         if output_hidden:

@@ -8,6 +8,15 @@ actual context, not the cache allocation.
 
 Layout: q [B, H, D], k/v cache [B, H, L, D], lengths [B] (valid entries,
 i.e. pos+1). Additive bias per (b, h) column supported (ALiBi decode form).
+
+Multi-head blocking (`block_h` heads per grid step): every grid step pays a
+fixed ~4 µs Mosaic overhead regardless of its read size; a many-small-heads
+model (persimmon: 64 heads of d=64) at one head per step is grid-floor
+bound, not bandwidth bound — 64 heads x 5 KV blocks x 36 layers ≈ 11.5k
+grid steps ≈ 46 ms/decode-step at full-HD (the measured 3x-off-roofline
+OtterHD gap, BENCH_NOTES r2). Folding block_h heads into one grid step
+divides the step count; the per-head dots run back-to-back on the already
+VMEM-resident block.
 """
 
 from __future__ import annotations
@@ -26,13 +35,34 @@ from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
 NUM_LANES = 128
 
 
+def _default_block_h(h: int, d: int, block_k: int) -> int:
+    """Heads per grid step: target ~0.5 MB of k-block per step so the
+    HBM read per grid step dwarfs the per-step floor, capped so (k, v,
+    double-buffering) stays well under VMEM."""
+    target = max(1, (512 * 1024) // max(1, block_k * d * 2))
+    bh = 1
+    while bh * 2 <= target and h % (bh * 2) == 0:
+        bh *= 2
+    return bh
+
+
 def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                      k_scale=None, v_scale=None,
+                     layer: Optional[int] = None,
                      sm_scale=None, block_k: int = 512,
+                     block_h: Optional[int] = None,
                      mask_value: float = DEFAULT_MASK_VALUE,
                      interpret: bool = False):
     """q [B, H, D]; k/v [B, H, L, D]; lengths [B] int32; optional column
     bias [B|1, H|1, L] (ALiBi decode form). -> [B, H, D].
+
+    Stacked-cache mode (`layer` given): k/v are the FULL stacked cache
+    [B, n_layers, H, L, D] (k_scale/v_scale [B, n_layers, H, L]) and the
+    layer is selected in the BlockSpec index maps — the kernel reads its
+    blocks straight out of the stacked buffer. Slicing the layer outside
+    (`cache[:, layer]`) is a STRIDED slice that XLA materializes for every
+    layer: one full extra cache read+write per decode step (measured
+    ~1.2 ms/step on the 7B at b8 — most of the former "carry cost").
 
     int8 KV cache: pass k/v as int8 with per-position scales k_scale /
     v_scale [B, H, L] (symmetric row-wise max-abs quantization). The cache
@@ -42,18 +72,24 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     the probability row before the p.v dot — no [block_k, d] dequantized
     block is ever materialized.
 
-    Grid (B, H, L//block_k); the single query row is replicated to the
-    8-sublane minimum tile; KV blocks past `lengths[b]` or before
+    Grid (B, H/block_h, L//block_k); the single query row is replicated to
+    the 8-sublane minimum tile; KV blocks past `lengths[b]` or before
     `starts[b]` (left padding) are skipped entirely (no HBM read).
     """
     bsz, h, d = q.shape
-    L = k.shape[2]
+    stacked = layer is not None
+    L = k.shape[3] if stacked else k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     block_k = min(block_k, L)
     while L % block_k:
         block_k //= 2
     num_kv = L // block_k
+    if block_h is None:
+        block_h = _default_block_h(h, d, block_k)
+    while h % block_h:
+        block_h //= 2
+    num_h = h // block_h
     has_bias = bias is not None
     quant = k_scale is not None
     if quant:
@@ -64,10 +100,26 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     # q rows tiled to the 8-sublane minimum per (b, h)
     q8 = jnp.broadcast_to(q[:, :, None, :], (bsz, h, 8, d))
 
+    if stacked:
+        kv_spec = pl.BlockSpec((1, 1, block_h, block_k, d),
+                               lambda b, hh, j, *_: (b, layer, hh, j, 0))
+        if quant:
+            # scales are ~d/8 of the cache bytes — the strided layer slice
+            # is cheap; only k/v ride the zero-copy stacked index map
+            k_scale = k_scale[:, layer]
+            v_scale = v_scale[:, layer]
+    else:
+        kv_spec = pl.BlockSpec((1, block_h, block_k, d),
+                               lambda b, hh, j, *_: (b, hh, j, 0))
+    sc_spec = pl.BlockSpec((1, block_h, 8, block_k),
+                           lambda b, hh, j, *_: (b, hh, 0, j))
+    sc_expand = lambda sc: jnp.broadcast_to(
+        sc.astype(jnp.bfloat16)[:, :, None, :], (bsz, h, 8, L))
+
     in_specs = [
-        pl.BlockSpec((1, 1, 8, d), lambda b, hh, j, *_: (b, hh, 0, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, hh, j, *_: (b, hh, j, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b, hh, j, *_: (b, hh, j, 0)),
+        pl.BlockSpec((1, block_h, 8, d), lambda b, hh, j, *_: (b, hh, 0, 0)),
+        kv_spec,
+        kv_spec,
     ]
     args = [q8, k, v]
     if has_bias:
@@ -77,7 +129,7 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             bias.astype(jnp.float32)[:, :, None, :],
             (bsz, h, 8, L))
         in_specs.append(pl.BlockSpec(
-            (1, 1, 8, block_k),
+            (1, block_h, 8, block_k),
             lambda b, hh, j, *_: (b, hh, 0, j)))
         args.append(bias8)
     if quant:
@@ -86,11 +138,8 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
         # the values' (25% of the int8 savings at d=128 in f32); scale
         # precision only perturbs the already ~1% int8 error
         for sc in (k_scale, v_scale):
-            in_specs.append(pl.BlockSpec(
-                (1, 1, 8, block_k),
-                lambda b, hh, j, *_: (b, hh, 0, j)))
-            args.append(jnp.broadcast_to(
-                sc.astype(jnp.bfloat16)[:, :, None, :], (bsz, h, 8, L)))
+            in_specs.append(sc_spec)
+            args.append(sc_expand(sc))
 
     def kernel(lengths_ref, starts_ref, *refs):
         it = iter(refs)
@@ -112,61 +161,68 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
 
         @pl.when((j * block_k < length) & ((j + 1) * block_k > start))
         def _body():
-            qq = q_ref[0, 0]                  # [8, D]
-            kk = k_ref[0, 0]                  # [block_k, D]
-            if quant:
-                kk = kk.astype(qq.dtype)      # int8 -> compute dtype
-            s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            if quant:
-                s *= ks_ref[0, 0]             # per-key-row dequant
-            s *= sm_scale                     # [8, block_k]
-            if bias_ref is not None:
-                s += bias_ref[0, 0]
-            cols = lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-            s = jnp.where((cols < length) & (cols >= start), s, mask_value)
+            cols = (lax.broadcasted_iota(jnp.int32, (8, block_k), 1)
+                    + j * block_k)
+            col_ok = (cols < length) & (cols >= start)
+            for hh in range(block_h):
+                qq = q_ref[0, hh]                 # [8, D]
+                kk = (k_ref[0, 0, hh] if stacked
+                      else k_ref[0, hh])          # [block_k, D]
+                if quant:
+                    kk = kk.astype(qq.dtype)      # int8 -> compute dtype
+                s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                if quant:
+                    s *= ks_ref[0, hh]            # per-key-row dequant
+                s *= sm_scale                     # [8, block_k]
+                if bias_ref is not None:
+                    s += bias_ref[0, hh]
+                s = jnp.where(col_ok, s, mask_value)
 
-            m_prev, l_prev = m_scr[...], l_scr[...]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, lax.broadcast_in_dim(
-                m_curr, m_prev.shape, (0, 1)))
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - lax.broadcast_in_dim(m_next[:, :1], s.shape,
-                                                 (0, 1)))
-            l_next = alpha * l_prev + lax.broadcast_in_dim(
-                jnp.sum(p, axis=1, keepdims=True), l_prev.shape, (0, 1))
-            m_scr[...] = m_next
-            l_scr[...] = l_next
-            vv = v_ref[0, 0]
-            if quant:
-                # fold the per-value-row scale into the probability row
-                p = p * vs_ref[0, 0]
-                vv = vv.astype(qq.dtype)
-            o_curr = lax.dot_general(p.astype(vv.dtype), vv,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            acc_scr[...] = acc_scr[...] * lax.broadcast_in_dim(
-                alpha[:, :1], acc_scr.shape, (0, 1)) + o_curr
+                m_prev = m_scr[hh]
+                l_prev = l_scr[hh]
+                m_curr = jnp.max(s, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, lax.broadcast_in_dim(
+                    m_curr, m_prev.shape, (0, 1)))
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(s - lax.broadcast_in_dim(m_next[:, :1], s.shape,
+                                                     (0, 1)))
+                l_next = alpha * l_prev + lax.broadcast_in_dim(
+                    jnp.sum(p, axis=1, keepdims=True), l_prev.shape, (0, 1))
+                m_scr[hh] = m_next
+                l_scr[hh] = l_next
+                vv = v_ref[0, 0, hh] if stacked else v_ref[0, hh]
+                if quant:
+                    # fold the per-value-row scale into the probability row
+                    p = p * vs_ref[0, hh]
+                    vv = vv.astype(qq.dtype)
+                o_curr = lax.dot_general(p.astype(vv.dtype), vv,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                acc_scr[hh] = acc_scr[hh] * lax.broadcast_in_dim(
+                    alpha[:, :1], acc_scr[hh].shape, (0, 1)) + o_curr
 
         @pl.when(j == num_kv - 1)
         def _store():
-            l = l_scr[...]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, 0] = (acc_scr[...] * lax.broadcast_in_dim(
-                l_inv[:, :1], acc_scr.shape, (0, 1))).astype(o_ref.dtype)
+            for hh in range(block_h):
+                l = l_scr[hh]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[0, hh] = (acc_scr[hh] * lax.broadcast_in_dim(
+                    l_inv[:, :1], acc_scr[hh].shape, (0, 1))
+                ).astype(o_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(bsz, h, num_kv),
+            grid=(bsz, num_h, num_kv),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, 8, d),
+            out_specs=pl.BlockSpec((1, block_h, 8, d),
                                    lambda b, hh, j, *_: (b, hh, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((8, NUM_LANES), jnp.float32),
-                pltpu.VMEM((8, NUM_LANES), jnp.float32),
-                pltpu.VMEM((8, d), jnp.float32),
+                pltpu.VMEM((block_h, 8, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_h, 8, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_h, 8, d), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((bsz, h, 8, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -83,10 +83,15 @@ def int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, scale: jnp.ndarray,
 
 def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
              w2q: jnp.ndarray, s2: jnp.ndarray, *, act: str = "gelu",
+             b1: Optional[jnp.ndarray] = None,
+             b2: Optional[jnp.ndarray] = None,
              block_h: int = 512, interpret: bool = False) -> jnp.ndarray:
-    """Fused quantized MLP: act((x @ w1) * s1) @ w2 * s2 in ONE pallas_call.
+    """Fused quantized MLP: act((x @ w1) * s1 + b1) @ w2 * s2 + b2 in ONE
+    pallas_call.
 
-    x [M, K] bf16; w1q [K, H] int8, s1 [H]; w2q [H, N] int8, s2 [N].
+    x [M, K] bf16; w1q [K, H] int8, s1 [H]; w2q [H, N] int8, s2 [N];
+    optional biases b1 [H] / b2 [N] f32 (persimmon has biases everywhere,
+    `fuyu/modeling_persimmon.py:173-193`).
     The grid walks H blocks: each step reads one w1 column-block and one
     w2 row-block (1 byte/weight off HBM, dequant in-register), computes the
     hidden activation for that block and accumulates its contribution to
@@ -111,6 +116,10 @@ def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     s1_2d = s1.reshape(1, h).astype(jnp.float32)
     s2_2d = s2.reshape(1, n).astype(jnp.float32)
+    has_bias = b1 is not None
+    if has_bias:
+        b1_2d = b1.reshape(1, h).astype(jnp.float32)
+        b2_2d = b2.reshape(1, n).astype(jnp.float32)
     def _erf(z):
         # Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7, far below bf16
         # resolution): Pallas TPU has no erf/erfc lowering
@@ -126,9 +135,15 @@ def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
         return z * 0.5 * (1.0 + _erf(z * 0.7071067811865476))
 
     act_fn = {"gelu": _gelu, "relu": jax.nn.relu,
-              "silu": jax.nn.silu}[act]
+              "silu": jax.nn.silu,
+              "sq_relu": lambda z: jnp.square(jnp.maximum(z, 0.0))}[act]
 
-    def kernel(x_ref, w1_ref, s1_ref, w2_ref, s2_ref, o_ref, acc):
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref, w1_ref, s1_ref, w2_ref, s2_ref = (next(it) for _ in range(5))
+        b1_ref = next(it) if has_bias else None
+        b2_ref = next(it) if has_bias else None
+        o_ref, acc = next(it), next(it)
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -139,7 +154,10 @@ def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
         hblk = lax.dot_general(
             x_ref[...], w1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        hblk = act_fn(hblk * s1_ref[...])
+        hblk = hblk * s1_ref[...]
+        if has_bias:
+            hblk = hblk + b1_ref[...]
+        hblk = act_fn(hblk)
         w2 = w2_ref[...].astype(x_ref.dtype)
         acc[...] += lax.dot_general(
             hblk.astype(x_ref.dtype), w2, (((1,), (0,)), ((), ())),
@@ -147,25 +165,34 @@ def int8_mlp(x: jnp.ndarray, w1q: jnp.ndarray, s1: jnp.ndarray,
 
         @pl.when(j == pl.num_programs(0) - 1)
         def _():
-            o_ref[...] = (acc[...] * s2_ref[...]).astype(o_ref.dtype)
+            y = acc[...] * s2_ref[...]
+            if has_bias:
+                y = y + b2_ref[...]
+            o_ref[...] = y.astype(o_ref.dtype)
 
+    in_specs = [
+        pl.BlockSpec((m_pad, k), lambda j: (0, 0)),
+        pl.BlockSpec((k, bh), lambda j: (0, j)),
+        pl.BlockSpec((1, bh), lambda j: (0, j)),
+        pl.BlockSpec((bh, n), lambda j: (j, 0)),
+        pl.BlockSpec((1, n), lambda j: (0, 0)),
+    ]
+    args = [x, w1q, s1_2d, w2q, s2_2d]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, bh), lambda j: (0, j)))
+        in_specs.append(pl.BlockSpec((1, n), lambda j: (0, 0)))
+        args.extend([b1_2d, b2_2d])
     out = pl.pallas_call(
         kernel,
         grid=(h // bh,),
-        in_specs=[
-            pl.BlockSpec((m_pad, k), lambda j: (0, 0)),
-            pl.BlockSpec((k, bh), lambda j: (0, j)),
-            pl.BlockSpec((1, bh), lambda j: (0, j)),
-            pl.BlockSpec((bh, n), lambda j: (j, 0)),
-            pl.BlockSpec((1, n), lambda j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((m_pad, n), lambda j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((m_pad, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(x, w1q, s1_2d, w2q, s2_2d)
+    )(*args)
     return out[:m]
 
 
@@ -320,6 +347,7 @@ class Int8Kernel(nn.Module):
     weights without changing checkpoint layout."""
 
     features: int
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, in_features: int):
@@ -327,6 +355,10 @@ class Int8Kernel(nn.Module):
                         (in_features, self.features), jnp.int8)
         sq = self.param("scale_q", nn.initializers.ones,
                         (self.features,), jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            return kq, sq, b
         return kq, sq
 
 
@@ -388,7 +420,15 @@ def quantize_kernel(w: np.ndarray):
 DEFAULT_QUANT_PATTERNS = re.compile(
     r"(.*/)?(layers_\d+/(attn|ffn)/[^/]+"
     r"|xattn_\d+/(ff_up|ff_down)"
-    r"|xattn_\d+/attn/(to_q|to_kv|to_out))/kernel$")
+    r"|xattn_\d+/attn/(to_q|to_kv|to_out)"
+    r"|lm_head)/kernel$")
+
+# frozen-tower training quantization (the single-chip 7B SFT recipe):
+# only the frozen decoder layers — xattn/perceiver/embeddings stay bf16
+# trainable, the untied lm_head (when present) trains too. Pair with
+# TextConfig(quant="int8", quant_xattn=None).
+FROZEN_DECODER_PATTERNS = re.compile(
+    r"(.*/)?layers_\d+/(attn|ffn)/[^/]+/kernel$")
 
 
 def quantize_params(params: Any,
@@ -580,7 +620,8 @@ def quantize_params_int4(params: Any) -> Any:
         r"(.*/)?(layers_\d+/ffn/down_proj|xattn_\d+/ff_down)/kernel$")
     attn_pat = re.compile(
         r"(.*/)?(layers_\d+/(attn|ffn)/[^/]+"
-        r"|xattn_\d+/attn/(to_q|to_kv|to_out))/kernel$")
+        r"|xattn_\d+/attn/(to_q|to_kv|to_out)"
+        r"|lm_head)/kernel$")
     flat = traverse_util.flatten_dict(params, sep="/")
 
     def int4_eligible(key: str) -> bool:

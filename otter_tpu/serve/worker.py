@@ -346,7 +346,11 @@ def make_fuyu_stream_fn(model, params, processor, cfg, tokenizer, *,
                           target_resolution=resolution, left_pad=True)
         ids = np.asarray(batch["input_ids"], np.int32)
         b, s = ids.shape
-        cache_len = -(-(s + gen.max_new_tokens) // 128) * 128
+        # large caches round to 512 so the decode kernel keeps block_k=512
+        # (padding past the valid length is skipped in-kernel, so it costs
+        # no HBM reads — only allocation)
+        gran = 512 if s + gen.max_new_tokens > 1024 else 128
+        cache_len = -(-(s + gen.max_new_tokens) // gran) * gran
         logits, cache = get_prefill(
             s, batch["image_patches"].shape[1], cache_len)(
             params, jnp.asarray(ids),

@@ -108,17 +108,32 @@ def make_optimizer(trainable: Dict, *, lr: float = 1e-5,
                    schedule: str = "constant", warmup_steps: int = 0,
                    total_steps: int = 10000, weight_decay: float = 0.1,
                    grad_clip: float = 1.0, grad_accum_steps: int = 1,
-                   mu_dtype=None) -> optax.GradientTransformation:
+                   mu_dtype=None,
+                   state_bits: Optional[int] = None
+                   ) -> optax.GradientTransformation:
     """mu_dtype=jnp.bfloat16 stores Adam's first moment in bf16 — 25% off
     the optimizer-state footprint (4 bytes/param saved), the standard
-    memory/precision trade on HBM-limited chips; the variance stays f32."""
+    memory/precision trade on HBM-limited chips; the variance stays f32.
+
+    state_bits=8 switches to blockwise int8 Adam states (train/opt8.py) —
+    8 -> ~2.06 bytes/param, the enabler for single-chip 7B SFT."""
     sched = make_schedule(schedule, lr, warmup_steps, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(sched, b1=0.9, b2=0.95, eps=1e-8,
-                    weight_decay=weight_decay, mu_dtype=mu_dtype,
-                    mask=weight_decay_mask(trainable)),
-    )
+    if state_bits == 8:
+        from otter_tpu.train.opt8 import scale_by_adam8
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            scale_by_adam8(b1=0.9, b2=0.95, eps=1e-8),
+            optax.add_decayed_weights(weight_decay,
+                                      mask=weight_decay_mask(trainable)),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(sched, b1=0.9, b2=0.95, eps=1e-8,
+                        weight_decay=weight_decay, mu_dtype=mu_dtype,
+                        mask=weight_decay_mask(trainable)),
+        )
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, grad_accum_steps)
     return tx

@@ -93,6 +93,61 @@ def test_int8_mlp_fused_matches_composition(rng):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_int8_mlp_bias_sqrelu_matches_composition(rng):
+    """Persimmon-shaped fused MLP: biases + squared-ReLU (the fuyu decode
+    path since r3 — fuyu/modeling_persimmon.py:173-193)."""
+    from otter_tpu.ops.quant import int8_mlp, quantize_kernel
+    m, k, h = 4, 64, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w1 = rng.standard_normal((k, h)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((h, k)).astype(np.float32) * 0.1
+    b1 = rng.standard_normal(h).astype(np.float32) * 0.1
+    b2 = rng.standard_normal(k).astype(np.float32) * 0.1
+    q1, s1 = quantize_kernel(w1)
+    q2, s2 = quantize_kernel(w2)
+    got = int8_mlp(x, jnp.asarray(q1), jnp.asarray(s1),
+                   jnp.asarray(q2), jnp.asarray(s2), act="sq_relu",
+                   b1=jnp.asarray(b1), b2=jnp.asarray(b2),
+                   block_h=64, interpret=True)
+    hid = x @ (q1.astype(np.float32) * s1[None, :]) + b1[None, :]
+    hid = np.square(np.maximum(np.asarray(hid), 0.0))
+    ref = hid @ (q2.astype(np.float32) * s2[None, :]) + b2[None, :]
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_fuyu_fused_decode_mlp_matches_xla_path(rng):
+    """persimmon MLP (bias + sq_relu): decode-shaped fused kernel path vs
+    prefill-shaped Int8Dense path on the same params."""
+    from otter_tpu.config import TextConfig
+    from otter_tpu.models.decoder import MLP
+    from otter_tpu.ops.quant import quantize_kernel
+    from flax import traverse_util
+
+    cfg = TextConfig(arch="persimmon", hidden_size=64,
+                     intermediate_size=128, num_hidden_layers=1,
+                     num_attention_heads=4, act="sq_relu", no_bias=False,
+                     quant="int8")
+    mlp = MLP(cfg, dtype=jnp.float32)
+    x_small = jnp.asarray(rng.standard_normal((1, 8, 64)), jnp.float32)
+    params = mlp.init(jax.random.PRNGKey(0), x_small)
+    flat = traverse_util.flatten_dict(params["params"], sep="/")
+    for name, shape in (("up_proj", (64, 128)), ("down_proj", (128, 64))):
+        w = rng.standard_normal(shape).astype(np.float32) * 0.1
+        q, s = quantize_kernel(w)
+        flat[f"{name}/kernel_q"] = jnp.asarray(q)
+        flat[f"{name}/scale_q"] = jnp.asarray(s)
+        flat[f"{name}/bias"] = jnp.asarray(
+            rng.standard_normal(shape[1]).astype(np.float32) * 0.1)
+    params = {"params": traverse_util.unflatten_dict(flat, sep="/")}
+
+    y_small = mlp.apply(params, x_small)                       # fused path
+    x_big = jnp.concatenate([x_small] * 8, axis=1)             # 64 tokens
+    y_big = mlp.apply(params, x_big)                           # XLA path
+    np.testing.assert_allclose(np.asarray(y_small[0]),
+                               np.asarray(y_big[0, :8]),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_mlp_fused_decode_path_matches_xla_path(rng):
     """The decode-shaped (tokens<=32) fused int8 MLP must agree with the
     prefill-shaped XLA path on the same params."""

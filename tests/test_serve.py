@@ -388,3 +388,120 @@ def test_web_moderation_gate(tmp_path):
     chunks = [json.loads(x) for x in r.content.split(b"\0") if x]
     assert chunks[-1]["error_code"] == 3
     assert "MODERATION" in chunks[-1]["text"]
+
+
+@pytest.mark.slow
+def test_cli_chat_loop_streams_text():
+    """serve/cli.py chat loop driven through StringIO: two turns on a
+    REAL tiny model, incremental token printing, EOF exit (VERDICT r2 #6 —
+    S4 was the last untested serving surface)."""
+    import io as _io
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from otter_tpu.config import GenerationConfig, OtterConfig
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.serve.cli import chat_loop
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    vision_x = jnp.zeros((1, 1, 1, 3, 28, 28), jnp.float32)
+    ids0 = jnp.asarray([[cfg.media_token_id, 10, 11]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids0)
+    engine = OtterGenerator(model, params, cfg)
+    gen = GenerationConfig(max_new_tokens=4, do_sample=False,
+                           eos_token_id=-1)
+
+    questions = iter(["what is this", "and now"])
+
+    def input_fn(prompt):
+        try:
+            return next(questions)
+        except StopIteration:
+            raise EOFError
+
+    out = _io.StringIO()
+    chat_loop(engine, TinyTokenizer(), vision_x, gen, with_image=True,
+              input_fn=input_fn, out=out)
+    text = out.getvalue()
+    assert text.startswith("Otter-TPU CLI chat")
+    # two turns, each with a streamed (word-id) completion
+    assert text.count("GPT: ") == 2
+    lines = [l for l in text.splitlines() if l.startswith("GPT: ")]
+    assert all(len(l) > len("GPT: ") for l in lines)
+
+
+@pytest.mark.slow
+def test_fuyu_worker_stream_postprocesses_coordinates(tmp_path):
+    """Fuyu coordinate post-processing THROUGH the worker stream
+    (VERDICT r2 #6): the final chunk must carry <box> spans rescaled from
+    half-scale token space (worker.py stream tail ->
+    FuyuProcessor.post_process_box_coordinates)."""
+    import io as _io
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import requests
+    from PIL import Image
+
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.data.fuyu_processor import (FuyuImageProcessor,
+                                               FuyuProcessor)
+    from otter_tpu.models.fuyu import FuyuVLM
+    from otter_tpu.serve.worker import make_fuyu_stream_fn
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    class BoxTok(TinyTokenizer):
+        specials = dict(TinyTokenizer.specials)
+        specials["\x04"] = 250
+
+        def decode(self, ids, skip_special_tokens=True):
+            # deterministic box span regardless of sampled ids: the
+            # post-processing contract is what's under test
+            return "a <box>10, 20, 30, 40</box> here"
+
+    cfg = FuyuConfig.tiny()
+    tok = BoxTok()
+    processor = FuyuProcessor(
+        tok, FuyuImageProcessor(patch_size=cfg.patch_size,
+                                buckets=((28, 28),)),
+        image_placeholder_id=cfg.image_placeholder_id,
+        image_newline_id=cfg.image_newline_id)
+    model = FuyuVLM(cfg, dtype=jnp.float32)
+    batch = processor(["hi \x04"], [Image.fromarray(
+        np.zeros((28, 28, 3), np.uint8))], left_pad=True)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["input_ids"]),
+        image_patches=jnp.asarray(batch["image_patches"]),
+        image_patches_indices=jnp.asarray(batch["image_patches_indices"]))
+    stream_fn = make_fuyu_stream_fn(model, params, processor, cfg, tok)
+
+    worker = ModelWorker(controller_addr="http://none",
+                         worker_addr="http://none",
+                         model_name="otterhd", stream_fn=stream_fn,
+                         no_register=True)
+    port = _free_port()
+    _run_app(worker_app(worker), port)
+
+    img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+    r = requests.post(
+        f"http://127.0.0.1:{port}/worker_generate_stream",
+        json={"prompt": "where \x04", "images": [b64],
+              "generation_kwargs": {"max_new_tokens": 3}},
+        stream=True, timeout=600)
+    chunks = [json.loads(c) for c in r.content.split(b"\0") if c]
+    assert chunks[-1]["error_code"] == 0, chunks
+    # 10,20,30,40 in half-scale token space -> doubled
+    assert "<box>20, 40, 60, 80</box>" in chunks[-1]["text"]

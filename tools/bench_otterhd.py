@@ -63,7 +63,11 @@ def main():
     n_gb = sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(params)) / 1e9
 
-    L = -(-(s + 64) // 128) * 128
+    # round the cache to a 512 multiple so the decode kernel keeps
+    # block_k=512 (L=2432 would force block_k down to 128 — 19 prime
+    # blocks); blocks past the valid length are skipped, so the padding
+    # costs no HBM traffic
+    L = -(-(s + 64) // 512) * 512
     positions = jnp.cumsum(mask, -1) - 1
 
     @jax.jit

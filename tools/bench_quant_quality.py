@@ -1,0 +1,193 @@
+"""Quantized-serving quality harness: bf16 vs int8 vs int4 output deltas
+at real 7B shapes (VERDICT r2 #2 — `load_bit` is the reference's
+user-facing promise, `pipeline/serve/model_worker.py:91-100`; int8/int4
+here were numerics-tested but had no output-quality evidence).
+
+Method: one set of structured random weights at MPT-7B decoder dims
+(Gaussian fan-in scaled, lognormal per-channel gains, 1% outlier channels
+x8 — the outlier-channel structure is the known int8 failure mode real
+transformers exhibit; iid Gaussian would flatter quantization), identical
+fixed prompts, then for each precision: full-vocab prefill logits + 64
+greedy decode steps. Reported per precision vs the bf16 run:
+
+  - top-1 agreement over prefill positions (the scorer-visible signal)
+  - mean/max KL(bf16 || quant) over the full vocab (logit distortion)
+  - greedy decode divergence step (first token that differs, per row)
+
+Plus a separate 262k-vocab untied-head study (fuyu's lm_head — 8B bf16
+does not fit the 16G chip whole, and head distortion is the new risk the
+int8 lm_head introduces): KL/top-1 of head logits on realistic final-norm
+hidden states.
+
+Writes a table to stdout; paste into BENCH_NOTES.md.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+B, P, NEW = 2, 256, 64
+SEED = 0
+
+
+def gen_kernel(rng, shape):
+    """Structured random weight: fan-in Gaussian x lognormal channel gains
+    with a 1% heavy-outlier tail on output channels."""
+    w = rng.standard_normal(shape, np.float32) / np.sqrt(shape[0])
+    gains = rng.lognormal(0.0, 0.5, shape[-1]).astype(np.float32)
+    outliers = rng.random(shape[-1]) < 0.01
+    gains = np.where(outliers, gains * 8.0, gains)
+    return w * gains
+
+
+def build_bf16_params(cfg):
+    """Random-but-structured bf16 decoder params matching Decoder's tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from otter_tpu.models.decoder import Decoder
+
+    model = Decoder(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(shapes, sep="/")
+    rng = np.random.default_rng(SEED)
+    out = {}
+    for k, s in flat.items():
+        if k.endswith("/kernel"):
+            out[k] = gen_kernel(rng, s.shape)
+        elif k.endswith("wte/embedding"):
+            out[k] = (rng.standard_normal(s.shape, np.float32) * 0.02)
+        elif "scale" in k.rsplit("/", 1)[-1]:
+            out[k] = np.ones(s.shape, np.float32)
+        else:
+            out[k] = np.zeros(s.shape, np.float32)
+    return traverse_util.unflatten_dict(out, sep="/"), model
+
+
+def run_precision(cfg_text, np_params, quant):
+    """Device-run prefill logits + greedy decode for one precision.
+    Returns (prefill_logits [B,P,V] np.float32, decode_tokens [B,NEW])."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from otter_tpu.models.decoder import Decoder, init_cache
+    from otter_tpu.ops.quant import quantize_params, quantize_params_int4
+
+    cfg = cfg_text.replace(quant=quant, decode_kernel="auto")
+    model = Decoder(cfg, dtype=jnp.bfloat16)
+    if quant == "int8":
+        params = quantize_params(np_params)
+    elif quant == "int4":
+        params = quantize_params_int4(np_params)
+    else:
+        params = np_params
+    params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+        params)
+
+    rng = np.random.default_rng(123)
+    ids = jnp.asarray(rng.integers(5, cfg.vocab_size - 10, (B, P)), jnp.int32)
+    L = P + NEW
+    mask = jnp.ones((B, P), jnp.int32)
+
+    @jax.jit
+    def prefill(params, ids):
+        cache = init_cache(cfg, B, L, jnp.bfloat16)
+        logits, cache = model.apply(params, ids, attention_mask=mask,
+                                    cache=cache)
+        return logits, cache
+
+    logits, cache = prefill(params, ids)
+    prefill_logits = np.asarray(logits, np.float32)
+
+    @jax.jit
+    def decode(params, tok0, cache):
+        def body(t, carry):
+            tok, cache, toks = carry
+            # entry P+t is written this step and must be attendable
+            kv_valid = jnp.arange(L)[None, :] < P + t + 1
+            logits, cache = model.apply(
+                params, tok, cache=cache, cache_pos=P + t, kv_valid=kv_valid)
+            nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            toks = lax.dynamic_update_slice(toks, tok, (0, t))
+            return nxt, cache, toks
+        toks = jnp.zeros((B, NEW), jnp.int32)
+        _, _, toks = lax.fori_loop(0, NEW, body, (tok0, cache, toks))
+        return toks
+
+    tok0 = jnp.asarray(prefill_logits[:, -1].argmax(-1)[:, None], jnp.int32)
+    toks = np.asarray(decode(params, tok0, cache))
+    del params, cache
+    return prefill_logits, toks
+
+
+def compare(name, ref_logits, ref_toks, q_logits, q_toks):
+    def logsoftmax(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+    lp_ref = logsoftmax(ref_logits)
+    lp_q = logsoftmax(q_logits)
+    kl = (np.exp(lp_ref) * (lp_ref - lp_q)).sum(-1)   # [B, P]
+    top1 = (ref_logits.argmax(-1) == q_logits.argmax(-1)).mean()
+    div = []
+    for b in range(ref_toks.shape[0]):
+        neq = np.nonzero(ref_toks[b] != q_toks[b])[0]
+        div.append(int(neq[0]) if len(neq) else ref_toks.shape[1])
+    print(f"| {name} | {top1 * 100:.2f}% | {kl.mean():.4f} | "
+          f"{kl.max():.4f} | {div} |")
+    return top1, kl.mean()
+
+
+def head_study():
+    """262k-vocab untied lm_head (fuyu): int8 head distortion on realistic
+    final-norm hidden states (unit-RMS x lognormal gains)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    d, v, n = 4096, 262144, 512
+    w = gen_kernel(rng, (d, v))
+    h = rng.standard_normal((n, d), np.float32)
+    h /= np.linalg.norm(h, axis=-1, keepdims=True) / np.sqrt(d)
+    from otter_tpu.ops.quant import quantize_kernel
+    q, scale = quantize_kernel(w)
+    ref = np.asarray(
+        jnp.dot(jnp.asarray(h, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16)),
+        np.float32)
+    qq = np.asarray(
+        jnp.dot(jnp.asarray(h, jnp.bfloat16),
+                jnp.asarray(q, jnp.bfloat16)) * jnp.asarray(scale),
+        np.float32)
+    compare("fuyu-head int8 (host)", ref[None], np.zeros((1, 1), int),
+            qq[None], np.zeros((1, 1), int))
+
+
+def main():
+    from otter_tpu.config import otter_mpt7b
+    from otter_tpu.runtime.timing import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = otter_mpt7b().text
+    print(f"MPT-7B decoder, b{B} p{P} +{NEW} greedy, structured random "
+          f"weights (seed {SEED})")
+    print("| precision | prefill top-1 agree | mean KL | max KL | "
+          "divergence step per row |")
+    print("|---|---|---|---|---|")
+    np_params, _ = build_bf16_params(cfg)
+    t0 = time.time()
+    ref_logits, ref_toks = run_precision(cfg, np_params, None)
+    print(f"# bf16 reference done ({time.time() - t0:.0f}s)",
+          file=sys.stderr)
+    for quant in ("int8", "int4"):
+        q_logits, q_toks = run_precision(cfg, np_params, quant)
+        compare(quant, ref_logits, ref_toks, q_logits, q_toks)
+    head_study()
+
+
+if __name__ == "__main__":
+    main()
