@@ -30,9 +30,15 @@ def main():
     from otter_tpu.models.otter import OtterVLM
     from otter_tpu.runtime.timing import enable_compile_cache
 
+    import os
     enable_compile_cache()
     cfg = otter_mpt7b()
-    cfg = cfg.replace(text=cfg.text.replace(quant="int8"))
+    # OTTER_DECODE_KERNEL=1 routes short-cache decode through the Pallas
+    # stacked-cache kernel instead of the XLA einsum (which pays a strided
+    # cache[:, layer] slice copy each step — see BENCH_NOTES r3)
+    dk = {"1": True, "0": False}.get(
+        os.environ.get("OTTER_DECODE_KERNEL", ""), cfg.text.decode_kernel)
+    cfg = cfg.replace(text=cfg.text.replace(quant="int8", decode_kernel=dk))
     model = OtterVLM(cfg, dtype=jnp.bfloat16)
 
     b, p = 8, 128

@@ -196,8 +196,12 @@ def main():
         if args.dataset in ("imagenet", "hateful_memes"):
             from otter_tpu.benchmarks.public_suite.classification_utils \
                 import HM_CLASSNAMES, load_classnames
-            names = load_classnames(args.classnames_file) \
-                if args.classnames_file else HM_CLASSNAMES
+            if args.classnames_file:
+                names = load_classnames(args.classnames_file)
+            elif args.dataset == "imagenet":
+                names = load_classnames()     # vendored 1000-name list
+            else:
+                names = HM_CLASSNAMES
             score = fn(model, test_items=test_items, classnames=names,
                        rank=rank, world=world)
         else:

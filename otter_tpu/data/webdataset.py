@@ -205,22 +205,55 @@ class ShardPipeline:
                 batch = []
         # partial=False: drop the trailing partial batch
 
-    @staticmethod
-    def _collate(batch: List[tuple]) -> dict:
-        images = np.stack([b[0] for b in batch])
+    def _collate(self, batch: List[tuple]) -> dict:
+        if isinstance(batch[0][0], (bytes, bytearray)):
+            images = self._native_decode_batch([b[0] for b in batch])
+        else:
+            images = np.stack([b[0] for b in batch])
         ids = np.stack([b[1] for b in batch])
         mask = np.stack([b[2] for b in batch])
         return {"images": images, "input_ids": ids, "attention_mask": mask}
+
+    def _native_decode_batch(self, raw: List[bytes]) -> np.ndarray:
+        """Batch decode deferred image bytes through the C++ decoder
+        (OpenMP across the batch); per-row PIL fallback on decode
+        failures. -> [B, 1, 1, 3, S, S] f32."""
+        from otter_tpu import native
+        from otter_tpu.data.templates import FLAMINGO_MEAN, FLAMINGO_STD
+
+        size = getattr(self.preprocess, "patch_size", 224)
+        out, status = native.preprocess_batch(raw, size, FLAMINGO_MEAN,
+                                              FLAMINGO_STD)
+        for i in np.nonzero(status)[0]:
+            from PIL import Image
+            img = Image.open(io.BytesIO(raw[i])).convert("RGB")
+            out[i] = preprocess_image(img, size)
+        return out[:, None, None]
 
 
 # ── preprocessing fns ───────────────────────────────────────────────
 
 
+def _resolve_native(native) -> bool:
+    if native == "auto":
+        from otter_tpu import native as nat
+        return nat.available()
+    return bool(native)
+
+
 def make_pair_preprocessor(tokenizer, *, patch_size: int = 224,
                            max_length: int = 32,
-                           prompt_format: str = "simple"):
+                           prompt_format: str = "simple",
+                           native="auto"):
     """LAION/CC3M (image, caption) pairs (data.py:270-292): text becomes
-    `<image>{caption}<|endofchunk|>{eos}`, images -> [1, 1, 3, H, W]."""
+    `<image>{caption}<|endofchunk|>{eos}`, images -> [1, 1, 3, H, W].
+
+    native=True/"auto" defers the JPEG decode to collate time: samples
+    carry the encoded bytes (also ~10x lighter in the shuffle buffer than
+    f32 pixels) and the C++ batch decoder (otter_tpu/native, OpenMP over
+    the batch) decodes+resizes+normalizes whole batches at once; rows the
+    native decoder rejects fall back to PIL per-image."""
+    use_native = _resolve_native(native)
 
     def fn(sample: dict):
         img_bytes = next((sample[k] for k in ("jpg", "jpeg", "png", "webp")
@@ -228,9 +261,14 @@ def make_pair_preprocessor(tokenizer, *, patch_size: int = 224,
         if img_bytes is None:
             raise ValueError("no image in sample")
         caption = sample.get("txt", b"").decode("utf-8").strip()
-        from PIL import Image
-        image = Image.open(io.BytesIO(img_bytes)).convert("RGB")
-        arr = preprocess_image(image, patch_size)[None, None]  # [1,1,3,H,W]
+        if use_native:
+            arr = bytes(img_bytes)        # decoded in _collate
+        else:
+            from PIL import Image
+            image = Image.open(io.BytesIO(img_bytes)).convert("RGB")
+            # [1,1,3,H,W]
+            arr = preprocess_image(image, patch_size)[None, None] \
+                .astype(np.float32)
         if prompt_format == "llama2_inst":
             text = (f"<image>[INST]please describe this image.[/INST]"
                     f"{caption}<|endofchunk|>")
@@ -243,8 +281,9 @@ def make_pair_preprocessor(tokenizer, *, patch_size: int = 224,
         n = len(enc["input_ids"])
         ids[:n] = enc["input_ids"]
         mask[:n] = 1
-        return arr.astype(np.float32), ids, mask
+        return arr, ids, mask
 
+    fn.patch_size = patch_size
     return fn
 
 
@@ -253,26 +292,47 @@ def make_interleaved_preprocessor(tokenizer, *, media_token_id: int,
                                   sim_threshold: float = 0.24,
                                   max_length: int = 256,
                                   single_image_drop: float = 0.5,
-                                  rng: Optional[random.Random] = None):
+                                  rng: Optional[random.Random] = None,
+                                  native="auto"):
     """MMC4 interleaved documents (preprocess_interleaved,
-    data.py:300-367)."""
+    data.py:300-367). With native decode the sample's <=MAX_NUM_IMAGES
+    images batch through the C++ decoder in one call (PIL fallback
+    per rejected row)."""
     rng = rng or random.Random(0)
+    use_native = _resolve_native(native)
+
+    def _decode_many(raws):
+        if use_native:
+            from otter_tpu import native
+            from otter_tpu.data.templates import (FLAMINGO_MEAN,
+                                                  FLAMINGO_STD)
+            out, status = native.preprocess_batch(
+                raws, patch_size, FLAMINGO_MEAN, FLAMINGO_STD)
+            arrs = list(out)
+            bad = np.nonzero(status)[0]
+        else:
+            arrs = [None] * len(raws)
+            bad = range(len(raws))
+        from PIL import Image
+        for i in bad:
+            img = Image.open(io.BytesIO(raws[i])).convert("RGB")
+            arrs[i] = preprocess_image(img, patch_size)
+        return arrs
 
     def fn(sample: dict):
         info = json.loads(sample["json"])
         sentences = list(info["text_list"])
-        images, sentence_ixs = [], []
+        raws, sentence_ixs = [], []
         import base64
-        from PIL import Image
         for im in info["image_info"]:
             rawbytes = base64.b64decode(im["image_base64"])
             if len(rawbytes) // 1000 <= MIN_KB:
                 continue
             if im["matched_sim"] < sim_threshold:
                 continue
-            img = Image.open(io.BytesIO(rawbytes)).convert("RGB")
-            images.append(preprocess_image(img, patch_size))
+            raws.append(rawbytes)
             sentence_ixs.append(im["matched_text_index"])
+        images = _decode_many(raws) if raws else []
         if not images:
             raise ValueError("No images in sample")
         images = images[:MAX_NUM_IMAGES]

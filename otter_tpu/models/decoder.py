@@ -107,8 +107,18 @@ class SelfAttention(nn.Module):
             c, feat, use_bias=use_bias, dtype=self.dtype, name=name)
 
         if c.arch in ("mpt", "mosaic_gpt"):
-            qkv = dense(3 * d_model, "Wqkv")(x)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if hk != h:
+                # MultiQueryAttention: fused Wqkv emits [q (d_model) |
+                # k (hk*d) | v (hk*d)] (reference mpt/attention.py:317-363,
+                # Wqkv out = d_model + 2*head_dim for hk=1; qk_ln then
+                # norms the hk*d-wide k — :338-345)
+                qkv = dense(d_model + 2 * hk * d, "Wqkv")(x)
+                q = qkv[..., :d_model]
+                k = qkv[..., d_model: d_model + hk * d]
+                v = qkv[..., d_model + hk * d:]
+            else:
+                qkv = dense(3 * d_model, "Wqkv")(x)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
         elif c.arch == "falcon":
             # fused multiquery layout: [q (h*d) | k (hk*d) | v (hk*d)]
             qkv = dense((h + 2 * hk) * d, "Wqkv")(x)
@@ -323,7 +333,7 @@ class MLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, decoding: bool = True):
         from otter_tpu.ops.quant import (Int4Dense, Int4Kernel, Int8Kernel,
                                          int4_mlp, int8_mlp, make_dense)
         c = self.cfg
@@ -338,11 +348,13 @@ class MLP(nn.Module):
         # tiling). int8 also covers biased + sq_relu MLPs (persimmon:
         # biases everywhere, squared-ReLU — fuyu/modeling_persimmon.py:
         # 173-193); int4 packing stays bias-free (quantize_params_int4
-        # keeps biased ffns at int8).
-        fused_int8 = (c.quant == "int8" and tokens <= 32
+        # keeps biased ffns at int8). `decoding` gates the kernels OFF for
+        # training shapes that happen to be tiny (pallas_call has no VJP;
+        # the frozen-int8 SFT recipe trains with quantized weights).
+        fused_int8 = (decoding and c.quant == "int8" and tokens <= 32
                       and c.act in ("gelu", "silu", "relu", "sq_relu"))
-        fused_int4 = (c.quant == "int4" and not use_bias and tokens <= 32
-                      and c.act in ("gelu", "silu", "relu"))
+        fused_int4 = (decoding and c.quant == "int4" and not use_bias
+                      and tokens <= 32 and c.act in ("gelu", "silu", "relu"))
         if fused_int8 or fused_int4:
             flat = x.reshape(tokens, d_model).astype(self.dtype)
             interp = jax.default_backend() != "tpu"
@@ -426,7 +438,8 @@ class DecoderLayer(nn.Module):
                 ln, positions=positions, attn_ids=attn_ids, bias=bias,
                 cache=cache, kv_valid=kv_valid, cache_pos=cache_pos,
                 layer=layer)
-            mlp = MLP(c, self.dtype, name="ffn")(ln)
+            mlp = MLP(c, self.dtype, name="ffn")(
+                ln, decoding=cache is not None and cache_pos is not None)
             return x + attn + mlp, new_cache
 
         a = _norm(c, self.dtype, "norm_1")(x)
@@ -468,7 +481,8 @@ class DecoderLayer(nn.Module):
             cache=cache, kv_valid=kv_valid, cache_pos=cache_pos, layer=layer)
         x = x + attn
         m = _norm(c, self.dtype, "norm_2")(x)
-        x = x + MLP(c, self.dtype, name="ffn")(m)
+        x = x + MLP(c, self.dtype, name="ffn")(
+            m, decoding=cache is not None and cache_pos is not None)
         return x, new_cache
 
 
@@ -617,7 +631,7 @@ class Decoder(nn.Module):
             from otter_tpu.ops.quant import (Int8Kernel, int8_matmul,
                                              make_dense)
             tokens = b * s
-            if c.quant in ("int8", "int4") and tokens <= 32:
+            if c.quant in ("int8", "int4") and tokens <= 32 and decoding:
                 # decode-shaped head through the Pallas int8 matmul: XLA's
                 # convert-then-dot at M=1 read the fuyu head at only
                 # ~173 GB/s (6.2 ms/step measured); the streamed kernel

@@ -575,7 +575,12 @@ def main():
                    help="int8: weight-only int8 decoder kernels; int4: "
                         "additionally nibble-packs un-biased two-matmul "
                         "MLP pairs (0.5 B/weight — mpt/mosaic/falcon; "
-                        "silu_glu and biased archs degrade to int8)")
+                        "silu_glu and biased archs degrade to int8). "
+                        "The reference's fp16 option is deliberately "
+                        "absent: bf16 is the TPU-native half precision "
+                        "(same byte width, MXU-preferred, no loss-scale "
+                        "hazards) — pass bf16 where the reference used "
+                        "fp16 (model_worker.py:91-100)")
     p.add_argument("--no-register", action="store_true")
     p.add_argument("--continuous-batching", action="store_true",
                    help="multiplex concurrent requests through one shared "

@@ -112,6 +112,92 @@ def openai_chat_fn(api_key: Optional[str] = None,
     return fn
 
 
+def anthropic_chat_fn(api_key: Optional[str] = None,
+                      model: str = "claude-3-5-sonnet-latest",
+                      base_url: str = "https://api.anthropic.com",
+                      max_tokens: int = 4096
+                      ) -> Callable[[List[dict]], str]:
+    """Anthropic Messages API (reference routes Anthropic via LiteLLM,
+    syphus/file_utils.py:53): the system message moves to the top-level
+    `system` field; user/assistant turns pass through."""
+    import requests
+    key = api_key or os.environ.get("ANTHROPIC_API_KEY", "")
+
+    def fn(messages: List[dict]) -> str:
+        system = "\n".join(m["content"] for m in messages
+                           if m["role"] == "system")
+        turns = [m for m in messages if m["role"] != "system"]
+        r = requests.post(
+            f"{base_url}/v1/messages",
+            headers={"x-api-key": key,
+                     "anthropic-version": "2023-06-01"},
+            json={"model": model, "max_tokens": max_tokens,
+                  "system": system, "messages": turns}, timeout=120)
+        r.raise_for_status()
+        return "".join(blk.get("text", "")
+                       for blk in r.json()["content"])
+
+    return fn
+
+
+def azure_chat_fn(api_key: Optional[str] = None,
+                  deployment: str = "gpt-4",
+                  endpoint: Optional[str] = None,
+                  api_version: str = "2024-02-01"
+                  ) -> Callable[[List[dict]], str]:
+    """Azure OpenAI chat completions (deployment-addressed URL + api-key
+    header; same message/response schema as OpenAI)."""
+    import requests
+    key = api_key or os.environ.get("AZURE_OPENAI_API_KEY", "")
+    endpoint = endpoint or os.environ.get("AZURE_OPENAI_ENDPOINT", "")
+
+    def fn(messages: List[dict]) -> str:
+        r = requests.post(
+            f"{endpoint}/openai/deployments/{deployment}/chat/completions",
+            params={"api-version": api_version},
+            headers={"api-key": key},
+            json={"messages": messages}, timeout=120)
+        r.raise_for_status()
+        return r.json()["choices"][0]["message"]["content"]
+
+    return fn
+
+
+def cohere_chat_fn(api_key: Optional[str] = None,
+                   model: str = "command-r-plus",
+                   base_url: str = "https://api.cohere.com"
+                   ) -> Callable[[List[dict]], str]:
+    """Cohere v2 chat (same user/assistant/system message schema)."""
+    import requests
+    key = api_key or os.environ.get("COHERE_API_KEY", "")
+
+    def fn(messages: List[dict]) -> str:
+        r = requests.post(
+            f"{base_url}/v2/chat",
+            headers={"Authorization": f"Bearer {key}"},
+            json={"model": model, "messages": messages}, timeout=120)
+        r.raise_for_status()
+        return "".join(blk.get("text", "") for blk in
+                       r.json()["message"]["content"])
+
+    return fn
+
+
+PROVIDERS = ("openai", "anthropic", "azure", "cohere")
+
+
+def make_chat_fn(provider: str = "openai", **kwargs
+                 ) -> Callable[[List[dict]], str]:
+    """Provider dispatch (the reference's LiteLLM multi-provider routing,
+    syphus/file_utils.py:53): openai | anthropic | azure | cohere.
+    Late-bound through module globals so tests can monkeypatch a
+    provider's chat_fn."""
+    if provider not in PROVIDERS:
+        raise ValueError(f"unknown provider {provider!r}; "
+                         f"available: {sorted(PROVIDERS)}")
+    return globals()[f"{provider}_chat_fn"](**kwargs)
+
+
 def generate_instructions(dataset: AbstractDataset,
                           chat_fn: Callable[[List[dict]], str],
                           *, num_threads: int = 8,
@@ -168,14 +254,24 @@ def main(argv=None):
     p.add_argument("--output", required=True,
                    help="output MIMIC-IT instruction JSON")
     p.add_argument("--num_threads", type=int, default=8)
-    p.add_argument("--model", default="gpt-4")
-    p.add_argument("--base_url",
-                   default=os.environ.get("OPENAI_API_BASE",
-                                          "https://api.openai.com/v1"))
+    p.add_argument("--provider", default="openai",
+                   choices=sorted(PROVIDERS),
+                   help="chat backend (the reference's LiteLLM routing)")
+    p.add_argument("--model", default=None)
+    p.add_argument("--base_url", default=None)
     args = p.parse_args(argv)
 
     dataset = DATASET_REGISTRY[args.name](args.query_inputs)
-    chat_fn = openai_chat_fn(model=args.model, base_url=args.base_url)
+    kwargs = {}
+    if args.model:
+        kwargs["deployment" if args.provider == "azure"
+               else "model"] = args.model
+    if args.base_url:
+        kwargs["endpoint" if args.provider == "azure"
+               else "base_url"] = args.base_url
+    elif args.provider == "openai" and os.environ.get("OPENAI_API_BASE"):
+        kwargs["base_url"] = os.environ["OPENAI_API_BASE"]
+    chat_fn = make_chat_fn(args.provider, **kwargs)
     result = generate_instructions(dataset, chat_fn,
                                    num_threads=args.num_threads,
                                    output_path=args.output)

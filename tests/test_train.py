@@ -233,3 +233,127 @@ def test_remat_matches_no_remat(rng):
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_int8_adam_matches_f32_adam_updates(rng):
+    """Blockwise int8 Adam (train/opt8.py) vs optax f32 Adam over several
+    updates: step directions within quantization tolerance."""
+    import optax
+
+    from otter_tpu.train.opt8 import scale_by_adam8
+
+    params = {"w": jnp.asarray(rng.standard_normal((64, 96)), jnp.float32),
+              "b": jnp.asarray(rng.standard_normal((96,)), jnp.float32)}
+    tx8 = scale_by_adam8(b1=0.9, b2=0.95, block=64)
+    txf = optax.scale_by_adam(b1=0.9, b2=0.95)
+    s8, sf = tx8.init(params), txf.init(params)
+    for i in range(4):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(i).standard_normal(p.shape) * 0.1,
+                jnp.float32), params)
+        u8, s8 = tx8.update(g, s8)
+        uf, sf = txf.update(g, sf)
+        for a, b in zip(jax.tree_util.tree_leaves(u8),
+                        jax.tree_util.tree_leaves(uf)):
+            a, b = np.asarray(a), np.asarray(b)
+            # int8 block quantization of m/v perturbs typical steps ~1%;
+            # elements whose nu sits far below its block max see larger
+            # relative error — assert on the distribution, not the tail
+            err = np.abs(a - b)
+            assert np.mean(err) < 0.01, np.mean(err)
+            assert np.mean(err < 0.08) > 0.999, np.mean(err < 0.08)
+            assert err.max() < 0.4, err.max()
+
+
+def test_int8_adam_training_trajectory(rng):
+    """150 least-squares steps: int8-state Adam reaches (near) the f32
+    Adam loss — the end-to-end check that blockwise quantized states
+    don't break optimization."""
+    import optax
+
+    from otter_tpu.train.opt8 import scale_by_adam8
+
+    x = jnp.asarray(rng.standard_normal((128, 32)), jnp.float32)
+    w_true = jnp.asarray(rng.standard_normal((32, 8)), jnp.float32)
+    y = x @ w_true
+
+    def loss_fn(w):
+        return jnp.mean((x @ w - y) ** 2)
+
+    def train(tx):
+        w = jnp.zeros((32, 8), jnp.float32)
+        st = tx.init(w)
+        for _ in range(150):
+            g = jax.grad(loss_fn)(w)
+            u, st = tx.update(g, st)
+            w = w + u
+        return float(loss_fn(w))
+
+    lr = optax.scale(-0.05)
+    l8 = train(optax.chain(scale_by_adam8(block=64), lr))
+    lf = train(optax.chain(optax.scale_by_adam(), lr))
+    assert l8 < 0.05, f"int8-Adam failed to optimize: {l8}"
+    assert l8 < max(lf * 3, 0.02), (l8, lf)
+
+
+def test_frozen_int8_grad_parity(rng):
+    """The single-chip 7B SFT recipe at tiny dims: gradients wrt the
+    TRAINABLE subset with int8-quantized frozen decoder layers match the
+    bf16-frozen path when the frozen weights are exactly
+    int8-representable (VERDICT r2 #3's correctness gate)."""
+    from flax import traverse_util
+
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.ops.quant import (FROZEN_DECODER_PATTERNS,
+                                     quantize_params)
+    from otter_tpu.train.step import causal_lm_loss, merge_params, \
+        split_params
+
+    cfg = OtterConfig.tiny("mpt")
+    qcfg = cfg.replace(text=cfg.text.replace(quant="int8",
+                                             quant_xattn=None))
+    b, s = 1, 40        # tokens > 32 so no fused decode kernels engage
+    vision_x = jnp.asarray(rng.standard_normal((b, 1, 1, 3, 28, 28)),
+                           jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (b, s)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    labels = jnp.asarray(np.where(rng.random((b, s)) < 0.5,
+                                  np.asarray(ids), -100), jnp.int32)
+
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), vision_x, ids)["params"]
+
+    # snap frozen decoder kernels to exactly int8-representable values
+    flat = traverse_util.flatten_dict(params, sep="/")
+    for k, v in list(flat.items()):
+        if FROZEN_DECODER_PATTERNS.match(k):
+            w = np.asarray(v, np.float32)
+            amax = np.abs(w).max(axis=0)
+            scale = np.where(amax > 0, amax / 127.0, 1.0)
+            flat[k] = jnp.asarray(
+                np.round(w / scale[None, :]) * scale[None, :], jnp.float32)
+    params = traverse_util.unflatten_dict(flat, sep="/")
+
+    trainable, frozen_bf16 = split_params(params, cfg)
+    frozen_int8 = quantize_params(frozen_bf16,
+                                  patterns=FROZEN_DECODER_PATTERNS)
+    qmodel = OtterVLM(qcfg, dtype=jnp.float32)
+
+    def loss(trainable, frozen, m):
+        p = merge_params(trainable, frozen)
+        logits, _, _ = m.apply({"params": p}, vision_x, ids,
+                               attention_mask=jnp.ones((b, s), jnp.int32))
+        return causal_lm_loss(logits, labels)[0]
+
+    l0, g0 = jax.value_and_grad(lambda t: loss(t, frozen_bf16, model))(
+        trainable)
+    l1, g1 = jax.value_and_grad(lambda t: loss(t, frozen_int8, qmodel))(
+        trainable)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=2e-5, rtol=2e-4)

@@ -170,3 +170,34 @@ def test_parallel_shard_reading(tmp_path, rng):
     batches = list(pipe)
     total = sum(b["input_ids"].shape[0] for b in batches)
     assert total == 20  # 4 shards x 5 samples, drop_last with batch 4
+
+
+def test_native_deferred_decode_matches_pil(tmp_path, rng):
+    """native="auto"/True defers JPEG decode to collate time through the
+    C++ batch decoder; the resulting batches must match the per-sample
+    PIL path (r3: native decode wired into LAION/MMC4 pipelines)."""
+    from otter_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    shard = str(tmp_path / "s-000000.tar")
+    _write_pair_shard(shard, rng, n=6)
+    tok = TinyTokenizer()
+
+    def run(native_flag):
+        pipe = ShardPipeline(
+            [shard],
+            make_pair_preprocessor(tok, patch_size=16, native=native_flag),
+            batch_size=3, shuffle_buffer=0, num_parallel_shards=1)
+        return list(pipe)
+
+    a, b = run(False), run(True)
+    assert len(a) == len(b) == 2
+    for ba, bb in zip(a, b):
+        assert bb["images"].shape == ba["images"].shape
+        # PIL's fixed-point resampler vs the native float path differ by
+        # a few u8 LSBs (same bound as tests/test_native_preproc.py)
+        diff = np.abs(ba["images"] - bb["images"])
+        assert np.percentile(diff, 99) < 4 / 255 / 0.26, \
+            np.percentile(diff, 99)
+        np.testing.assert_array_equal(ba["input_ids"], bb["input_ids"])
