@@ -80,10 +80,30 @@ class _Slot:
     emitted: int = 0        # generated tokens so far
     media: int = 0          # <image> tokens in the prompt
     last_tok: int = 0
+    group: Optional[int] = None   # beam-group id (num_beams > 1)
     # per-request latency accounting
     t_submit: float = 0.0   # request enqueue time
     t_admit: float = 0.0    # prefill+insert done (first token available)
     t_first: float = 0.0    # first token delivered to the consumer
+
+
+@dataclass
+class _BeamGroup:
+    """One num_beams>1 request occupying `rows` slots in lockstep: the
+    shared decode step advances every beam row like any other slot, then a
+    per-group top-2k candidate pass (HF beam semantics, mirroring
+    generation/beam.py) reorders the group's cache/buffer rows to the
+    selected parent beams. Tokens are delivered on completion (beam
+    hypotheses can revise earlier tokens, which the per-token stream
+    contract cannot express)."""
+    gen: GenerationConfig
+    out: queue.Queue
+    rows: List[int] = field(default_factory=list)
+    gid: int = -1
+    scores: Any = None                   # live beam scores, np [k] f32
+    hyps: List[List[int]] = field(default_factory=list)   # live tokens
+    fin: List[Tuple[float, List[int]]] = field(default_factory=list)
+    t_submit: float = 0.0
 
 
 class ContinuousBatcher:
@@ -112,6 +132,9 @@ class ContinuousBatcher:
         self._completed: List[dict] = []   # per-request latency records
 
         self._slots = [_Slot() for _ in range(num_slots)]
+        self._groups: Dict[int, _BeamGroup] = {}
+        self._next_group = 0
+        self._deferred: List[tuple] = []   # beam requests awaiting k slots
         self._pending: "queue.Queue[tuple]" = queue.Queue()
         self._rng = jax.random.PRNGKey(rng_seed)
         self._lock = threading.Lock()
@@ -127,6 +150,8 @@ class ContinuousBatcher:
         self._prefill_fns: Dict[int, Any] = {}
         self._insert_fns: Dict[int, Any] = {}
         self._decode_fns: Dict[Any, Any] = {}
+        self._beam_cand_fns: Dict[int, Any] = {}
+        self._beam_reorder_fn = None
 
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -135,8 +160,16 @@ class ContinuousBatcher:
 
     def submit(self, vision_x, lang_x,
                gen: Optional[GenerationConfig] = None):
-        """Enqueue one request; yields generated token ids (eos excluded)."""
+        """Enqueue one request; yields generated token ids (eos excluded).
+
+        num_beams > 1 runs HF-semantics beam search inside the slot pool
+        (the request occupies num_beams slots in lockstep); the best
+        hypothesis's tokens are delivered on COMPLETION — beam hypotheses
+        can revise earlier tokens, which a per-token stream cannot
+        express. num_beams is capped at the pool size."""
         gen = gen or GenerationConfig()
+        if gen.num_beams > self.n:
+            gen = gen.replace(num_beams=self.n)
         out: "queue.Queue" = queue.Queue()
         self._pending.put((np.asarray(vision_x), np.asarray(lang_x),
                            gen, out, time.monotonic()))
@@ -200,10 +233,14 @@ class ContinuousBatcher:
                                                donate_argnums=(0, 2, 3, 4))
         return self._insert_fns[bucket]
 
-    def _get_decode(self, lp_configs: Tuple[Tuple[int, Any], ...]):
+    def _get_decode(self, lp_configs: Tuple[Tuple[int, Any], ...],
+                    need_logits: bool = False):
         """lp_configs: distinct (ngram, bad_words_ids) among active slots;
-        rows select theirs via lp_idx (-1 = none)."""
-        key = lp_configs
+        rows select theirs via lp_idx (-1 = none). need_logits additionally
+        returns the processed logits (device) for beam-group selection —
+        a separate compiled variant so beam-free serving keeps the leaner
+        graph."""
+        key = (lp_configs, need_logits)
         if key in self._decode_fns:
             return self._decode_fns[key]
 
@@ -231,12 +268,44 @@ class ContinuousBatcher:
                               temperature=temperature, top_k=top_k,
                               top_p=top_p)
             nxt = jnp.where(active, nxt, 0)
+            if need_logits:
+                return nxt, cache, buffer, valid, logits
             return nxt, cache, buffer, valid
 
         # donate cache/buffer/valid: threaded through the jit boundary
         # every step, reassigned from the returns
         self._decode_fns[key] = jax.jit(decode, donate_argnums=(1, 2, 3))
         return self._decode_fns[key]
+
+    # ── beam-group jitted pieces ──────────────────────────────────────
+
+    def _get_beam_cand(self, k: int):
+        """Top-2k candidate selection over the group rows' logits."""
+        if k not in self._beam_cand_fns:
+            def cand(logits, rows, scores):
+                lp = jax.nn.log_softmax(
+                    logits[rows].astype(jnp.float32), axis=-1)  # [k, V]
+                vocab = lp.shape[-1]
+                total = scores[:, None] + lp
+                top, idx = jax.lax.top_k(total.reshape(-1), 2 * k)
+                return top, idx // vocab, idx % vocab
+            self._beam_cand_fns[k] = jax.jit(cand)
+        return self._beam_cand_fns[k]
+
+    def _get_beam_reorder(self):
+        """Gather parent-beam rows into the group's slot rows for every
+        pooled array (cache k/v/scales, token buffer, valid mask) —
+        latents are identical across the group and skipped."""
+        if self._beam_reorder_fn is None:
+            def reorder(cache, buffer, valid, rows, parents):
+                cache = {key: v.at[rows].set(v[parents])
+                         for key, v in cache.items()}
+                buffer = buffer.at[rows].set(buffer[parents])
+                valid = valid.at[rows].set(valid[parents])
+                return cache, buffer, valid
+            self._beam_reorder_fn = jax.jit(reorder,
+                                            donate_argnums=(0, 1, 2))
+        return self._beam_reorder_fn
 
     # ── scheduler ─────────────────────────────────────────────────────
 
@@ -247,6 +316,9 @@ class ContinuousBatcher:
         `_admit` forces all admitted first tokens in ONE readback so K
         admissions pipeline their prefills instead of each paying the
         relay roundtrip (and stalling every active decode stream)."""
+        if gen.num_beams > 1:
+            return self._admit_start_beam(vision_x, lang_x, gen, out,
+                                          t_submit)
         free = next((i for i, s in enumerate(self._slots)
                      if not s.active), None)
         assert free is not None
@@ -292,7 +364,89 @@ class ContinuousBatcher:
         slot.t_submit = t_submit
         return slot, tok_dev
 
-    def _admit_finish(self, slot: "_Slot", tok: int):
+    def _admit_start_beam(self, vision_x, lang_x, gen, out,
+                          t_submit: float = 0.0):
+        """Admit a num_beams=k request into k slots: ONE prefill, its KV
+        replicated into each beam row, then a top-k fan-out over the
+        prefill logits (generation/beam.py `_beam_setup` first step)."""
+        k = gen.num_beams
+        free = [i for i, s in enumerate(self._slots) if not s.active][:k]
+        assert len(free) == k
+        lang_x = np.asarray(lang_x)
+        real = int(lang_x.shape[1])
+        bucket = _round_bucket(real, self.buckets)
+        ids, mask = left_pad(lang_x, None, target_len=bucket,
+                             pad_id=gen.pad_token_id)
+        last_logits, small, lat = self._get_prefill(bucket)(
+            self.params, jnp.asarray(vision_x), jnp.asarray(ids),
+            jnp.asarray(mask))
+        if self._latents is None:
+            shape = (self.n, self.max_media) + tuple(lat.shape[2:])
+            self._latents = jnp.zeros(shape, lat.dtype)
+        for row in free:
+            self._cache, self._buffer, self._valid, self._latents = \
+                self._get_insert(bucket)(
+                    self._cache, small, self._buffer, self._valid,
+                    self._latents, row, jnp.asarray(ids[0]),
+                    jnp.asarray(mask[0]), lat)
+
+        logits0 = last_logits[0]
+        if gen.no_repeat_ngram_size or gen.bad_words_ids:
+            logits0 = sampling.process_logits(
+                logits0[None], jnp.asarray(ids), bucket, gen,
+                bucket - real)[0]
+        logp0 = jax.nn.log_softmax(logits0.astype(jnp.float32))
+        first_scores, first_toks = jax.lax.top_k(logp0, k)
+
+        gid = self._next_group
+        self._next_group += 1
+        grp = _BeamGroup(gen=gen, out=out, rows=list(free), gid=gid,
+                         t_submit=t_submit)
+        self._groups[gid] = grp
+        media = int(np.sum(lang_x == self.cfg.media_token_id))
+        for row in free:
+            s = self._slots[row]
+            s.gen = gen
+            s.out = None            # delivery goes through the group
+            s.real_len = real
+            s.bucket = bucket
+            s.written = bucket
+            s.emitted = 1
+            s.media = media
+            s.active = True
+            s.group = gid
+            s.t_submit = t_submit
+        return grp, (first_toks, first_scores)
+
+    def _admit_finish(self, slot, tok):
+        if isinstance(slot, _BeamGroup):
+            return self._admit_finish_beam(slot, tok)
+        return self._admit_finish_slot(slot, int(tok))
+
+    def _admit_finish_beam(self, grp: "_BeamGroup", dev):
+        toks = np.asarray(dev[0])
+        scores = np.asarray(dev[1], np.float32)
+        gen = grp.gen
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        neg_inf = np.float32(-1e9)
+        live = np.where(toks == eos, neg_inf, scores)
+        for t, s in zip(toks, scores):
+            if int(t) == eos:
+                # a 1-token finished hypothesis (empty visible text)
+                grp.fin.append((float(s) / (1.0 ** gen.length_penalty),
+                                []))
+        grp.scores = live
+        grp.hyps = [[int(t)] for t in toks]
+        now = time.monotonic()
+        for i, row in enumerate(grp.rows):
+            s = self._slots[row]
+            s.last_tok = int(toks[i])
+            s.t_admit = s.t_first = now
+        if gen.max_new_tokens <= 1 or bool(np.all(live <= neg_inf)):
+            self._finalize_group(grp)
+
+    def _admit_finish_slot(self, slot: "_Slot", tok: int):
         gen, out = slot.gen, slot.out
         eos = gen.eos_token_id if gen.eos_token_id is not None \
             else self.cfg.eoc_token_id
@@ -305,6 +459,79 @@ class ContinuousBatcher:
             self._finish(slot)
         else:
             out.put(tok)
+
+    def _beam_advance(self, grp: "_BeamGroup", logits_dev):
+        """One beam step for a group: top-2k candidates over the group
+        rows' processed logits (device), then host-side finished/live
+        bookkeeping and a device gather that reorders the group's
+        cache/buffer rows to the selected parent beams (HF semantics,
+        mirroring generation/beam.py `body`)."""
+        k = len(grp.rows)
+        gen = grp.gen
+        rows_dev = jnp.asarray(grp.rows, jnp.int32)
+        top, beams, toks = self._get_beam_cand(k)(
+            logits_dev, rows_dev, jnp.asarray(grp.scores))
+        top = np.asarray(top)
+        beams = np.asarray(beams)
+        toks = np.asarray(toks)
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg.eoc_token_id
+        cur_len = len(grp.hyps[0]) + 1
+
+        def pen(score, length):
+            return float(score) / (float(length) ** gen.length_penalty)
+
+        live: List[Tuple[float, int, int]] = []
+        for s, b, t in zip(top, beams, toks):
+            if int(t) == eos:
+                # hypothesis delivered WITHOUT the eos (submit contract)
+                grp.fin.append((pen(s, cur_len), list(grp.hyps[int(b)])))
+            elif len(live) < k:
+                live.append((float(s), int(b), int(t)))
+        grp.fin = sorted(grp.fin, key=lambda x: x[0], reverse=True)[:k]
+
+        parents_abs = [grp.rows[b] for _, b, _ in live]
+        if parents_abs != grp.rows:
+            self._cache, self._buffer, self._valid = \
+                self._get_beam_reorder()(
+                    self._cache, self._buffer, self._valid, rows_dev,
+                    jnp.asarray(parents_abs, jnp.int32))
+        grp.hyps = [grp.hyps[b] + [t] for _, b, t in live]
+        grp.scores = np.asarray([s for s, _, _ in live], np.float32)
+        emitted = 0
+        for i, row in enumerate(grp.rows):
+            s = self._slots[row]
+            s.written += 1
+            s.emitted += 1
+            s.last_tok = live[i][2]
+            emitted = s.emitted
+        max_len_hit = (emitted >= gen.max_new_tokens
+                       or self._slots[grp.rows[0]].written >= self.L)
+        if max_len_hit or (gen.early_stopping and len(grp.fin) >= k):
+            self._finalize_group(grp)
+
+    def _finalize_group(self, grp: "_BeamGroup"):
+        """Pick the best hypothesis (finished pool vs length-penalized
+        live beams), deliver its tokens, free the group's slots."""
+        gen = grp.gen
+        cands = list(grp.fin)
+        for score, hyp in zip(grp.scores, grp.hyps):
+            if score > -1e8:
+                cands.append(
+                    (float(score) / (float(len(hyp))
+                                     ** gen.length_penalty), list(hyp)))
+        best = max(cands, key=lambda x: x[0])[1] if cands else []
+        for tok in best:
+            grp.out.put(int(tok))
+        grp.out.put(None)
+        for i, row in enumerate(grp.rows):
+            s = self._slots[row]
+            if i == 0:
+                self._finish(s)      # one latency record per request
+            else:
+                s.active = False
+            s.group = None
+        self._groups.pop(grp.gid, None)
 
     def _finish(self, slot: "_Slot"):
         """Close out a request and record its latency stats."""
@@ -356,16 +583,36 @@ class ContinuousBatcher:
     def _admit(self):
         decoding = any(s.active for s in self._slots)
         started = []
+
+        def free_count():
+            return sum(not s.active for s in self._slots)
+
+        def try_start(item) -> bool:
+            need = max(1, item[2].num_beams)
+            if need > free_count():
+                return False
+            started.append(self._admit_start(*item))
+            return True
+
+        # beam requests blocked on slot availability earlier get first
+        # crack; smaller requests may backfill around a blocked one
+        still = []
+        for item in self._deferred:
+            if (decoding and len(started) >= self.max_admits_per_iter) \
+                    or not try_start(item):
+                still.append(item)
+        self._deferred = still
         while not self._pending.empty():
             if decoding and len(started) >= self.max_admits_per_iter:
                 break
-            if not any(not s.active for s in self._slots):
+            if free_count() == 0:
                 break
             try:
                 item = self._pending.get_nowait()
             except queue.Empty:
                 break
-            started.append(self._admit_start(*item))
+            if not try_start(item):
+                self._deferred.append(item)
         # dispatch-then-force: all K prefills are already in flight
         # (pipelined on device); forcing each first token in dispatch
         # order keeps request 1's TTFT at its OWN prefill latency while
@@ -374,7 +621,7 @@ class ContinuousBatcher:
         # 151 -> 468 ms at 4 concurrent submits: the first stream waited
         # on every prefill.)
         for slot, tok_dev in started:
-            self._admit_finish(slot, int(tok_dev))
+            self._admit_finish(slot, tok_dev)
 
     def _step(self):
         with self._lock:
@@ -400,8 +647,8 @@ class ContinuousBatcher:
                 lp_idx.append(-1)
 
         self._rng, sub = jax.random.split(self._rng)
-        nxt, self._cache, self._buffer, self._valid = self._get_decode(
-            tuple(lp_list))(
+        need_logits = any(s.active and s.group is not None for s in slots)
+        res = self._get_decode(tuple(lp_list), need_logits)(
             self.params, self._cache, self._buffer, self._valid,
             self._latents,
             arr(lambda s: s.last_tok, jnp.int32),
@@ -421,9 +668,15 @@ class ContinuousBatcher:
                            if s.gen and s.gen.eos_token_id is not None
                            else self.cfg.eoc_token_id), jnp.int32),
             sub)
+        if need_logits:
+            nxt, self._cache, self._buffer, self._valid, logits_dev = res
+            for grp in list(self._groups.values()):
+                self._beam_advance(grp, logits_dev)
+        else:
+            nxt, self._cache, self._buffer, self._valid = res
         toks = np.asarray(nxt)
         for i, s in enumerate(slots):
-            if not s.active:
+            if not s.active or s.group is not None:
                 continue
             tok = int(toks[i])
             eos = s.gen.eos_token_id if s.gen.eos_token_id is not None \

@@ -174,14 +174,17 @@ class SelfAttention(nn.Module):
 
         new_cache = None
         quant_cache = cache is not None and cache["k"].dtype == jnp.int8
+        # int4 cache: packed int8 storage at half the head dim
+        int4_cache = quant_cache and cache["k"].shape[-1] == d // 2
 
         def write_cache(cache, k, v, pos):
             """Append k/v [B,hk,S,D] at offset `pos` (scalar, or [B] with
             S==1) into the stacked cache, quantizing when it is int8."""
             upd = dict(cache)
             if quant_cache:
-                from otter_tpu.ops.quant import quantize_kv
-                (kq, ksc), (vq, vsc) = quantize_kv(k), quantize_kv(v)
+                from otter_tpu.ops.quant import quantize_kv, quantize_kv_int4
+                qfn = quantize_kv_int4 if int4_cache else quantize_kv
+                (kq, ksc), (vq, vsc) = qfn(k), qfn(v)
                 vals = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
             else:
                 vals = {"k": k, "v": v}
@@ -230,7 +233,8 @@ class SelfAttention(nn.Module):
                 b2 = bias[:, :, 0, :] if bias is not None and \
                     bias.ndim == 4 else bias
                 scales = ({"k_scale": new_cache["k_scale"],
-                           "v_scale": new_cache["v_scale"]}
+                           "v_scale": new_cache["v_scale"],
+                           "kv_bits": 4 if int4_cache else 8}
                           if quant_cache else {})
                 out = decode_attention(
                     q[:, :, 0, :], new_cache["k"], new_cache["v"], lengths,
@@ -241,11 +245,12 @@ class SelfAttention(nn.Module):
                 ckl = new_cache["k"][:, layer]
                 cvl = new_cache["v"][:, layer]
                 if quant_cache:
-                    from otter_tpu.ops.quant import dequantize_kv
-                    ckl = dequantize_kv(ckl, new_cache["k_scale"][:, layer],
-                                        q.dtype)
-                    cvl = dequantize_kv(cvl, new_cache["v_scale"][:, layer],
-                                        q.dtype)
+                    from otter_tpu.ops.quant import (dequantize_kv,
+                                                     dequantize_kv_int4)
+                    dqfn = (dequantize_kv_int4 if int4_cache
+                            else dequantize_kv)
+                    ckl = dqfn(ckl, new_cache["k_scale"][:, layer], q.dtype)
+                    cvl = dqfn(cvl, new_cache["v_scale"][:, layer], q.dtype)
                 out = _decode_attention(q, ckl, cvl, kv_valid, bias,
                                         sm_scale=self._scale())
         else:
@@ -672,11 +677,15 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
     dtype=jnp.int8 (or the string "int8") builds a QUANTIZED cache:
     int8 entries plus f32 per-(position, head) max-abs scales — half the
     HBM read per decode step where the cache dominates (long contexts),
-    dequantized in-register by the Pallas decode kernel."""
-    if dtype == "int8":
+    dequantized in-register by the Pallas decode kernel. dtype="int4"
+    nibble-packs pairs of head dims into one int8 byte (quarter the bf16
+    read; `ops.quant.quantize_kv_int4` half-and-half pairing, unpacked
+    in-register by the kernel)."""
+    int4 = dtype == "int4"
+    if dtype in ("int8", "int4"):
         dtype = jnp.int8
-    shape = (batch, cfg.num_hidden_layers, cfg.kv_heads, max_len,
-             cfg.head_dim)
+    hd = cfg.head_dim // 2 if int4 else cfg.head_dim
+    shape = (batch, cfg.num_hidden_layers, cfg.kv_heads, max_len, hd)
     cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if dtype == jnp.int8:
         cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)

@@ -47,7 +47,7 @@ def _default_block_h(h: int, d: int, block_k: int) -> int:
 
 
 def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
-                     k_scale=None, v_scale=None,
+                     k_scale=None, v_scale=None, kv_bits: int = 8,
                      layer: Optional[int] = None,
                      sm_scale=None, block_k: int = 512,
                      block_h: Optional[int] = None,
@@ -76,7 +76,9 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     the 8-sublane minimum tile; KV blocks past `lengths[b]` or before
     `starts[b]` (left padding) are skipped entirely (no HBM read).
     """
+    int4 = kv_bits == 4 and k_scale is not None
     bsz, h, d = q.shape
+    d_kv = d // 2 if int4 else d     # packed cache lane width
     stacked = layer is not None
     L = k.shape[3] if stacked else k.shape[2]
     if sm_scale is None:
@@ -101,7 +103,7 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     q8 = jnp.broadcast_to(q[:, :, None, :], (bsz, h, 8, d))
 
     if stacked:
-        kv_spec = pl.BlockSpec((1, 1, block_h, block_k, d),
+        kv_spec = pl.BlockSpec((1, 1, block_h, block_k, d_kv),
                                lambda b, hh, j, *_: (b, layer, hh, j, 0))
         if quant:
             # scales are ~d/8 of the cache bytes — the strided layer slice
@@ -109,7 +111,7 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             k_scale = k_scale[:, layer]
             v_scale = v_scale[:, layer]
     else:
-        kv_spec = pl.BlockSpec((1, block_h, block_k, d),
+        kv_spec = pl.BlockSpec((1, block_h, block_k, d_kv),
                                lambda b, hh, j, *_: (b, hh, j, 0))
     sc_spec = pl.BlockSpec((1, block_h, 8, block_k),
                            lambda b, hh, j, *_: (b, hh, 0, j))
@@ -167,8 +169,14 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             for hh in range(block_h):
                 qq = q_ref[0, hh]                 # [8, D]
                 kk = (k_ref[0, 0, hh] if stacked
-                      else k_ref[0, hh])          # [block_k, D]
-                if quant:
+                      else k_ref[0, hh])          # [block_k, D | D/2]
+                if int4:
+                    # unpack nibbles in-register; half-and-half pairing
+                    # means concat on the lane dim restores natural order
+                    kp = kk.astype(jnp.int32)
+                    kk = jnp.concatenate([(kp << 28) >> 28, kp >> 4],
+                                         axis=1).astype(qq.dtype)
+                elif quant:
                     kk = kk.astype(qq.dtype)      # int8 -> compute dtype
                 s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -195,7 +203,12 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                 if quant:
                     # fold the per-value-row scale into the probability row
                     p = p * vs_ref[0, hh]
-                    vv = vv.astype(qq.dtype)
+                    if int4:
+                        vp = vv.astype(jnp.int32)
+                        vv = jnp.concatenate([(vp << 28) >> 28, vp >> 4],
+                                             axis=1).astype(qq.dtype)
+                    else:
+                        vv = vv.astype(qq.dtype)
                 o_curr = lax.dot_general(p.astype(vv.dtype), vv,
                                          (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)

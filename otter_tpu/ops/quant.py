@@ -464,6 +464,32 @@ def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray,
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
+def quantize_kv_int4(x: jnp.ndarray):
+    """Symmetric per-row max-abs int4 for KV-cache entries, nibble-packed
+    along the HEAD dim with half-and-half pairing (byte j holds dims j and
+    j + D/2, like `quantize_kernel_int4(pack_axis=0)`): x [..., D] ->
+    (packed int8 [..., D/2], f32 scale [...]). Quarter the bf16 cache
+    read; the decode kernel unpacks in-register (concat on the lane dim
+    restores natural order)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int32)
+    half = x.shape[-1] // 2
+    lo, hi = q[..., :half], q[..., half:]
+    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    return packed, scale
+
+
+def dequantize_kv_int4(packed: jnp.ndarray, scale: jnp.ndarray,
+                       dtype=jnp.bfloat16) -> jnp.ndarray:
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28
+    hi = p >> 4
+    q = jnp.concatenate([lo, hi], axis=-1)
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 # ── int4 weight-only (fused MLP path) ────────────────────────────────
 
 def quantize_kernel_int4(w: np.ndarray, pack_axis: int = 0):

@@ -466,7 +466,8 @@ def _run_idefics_worker(args):
         qfn = (quantize_params_int4 if args.load_bit == "int4"
                else quantize_params)
         params = {"params": qfn(params["params"])}
-    cache_dtype = jnp.int8 if args.cache_bit == "int8" else jnp.bfloat16
+    cache_dtype = (args.cache_bit if args.cache_bit in ("int8", "int4")
+                   else jnp.bfloat16)
     if args.continuous_batching:
         from otter_tpu.data.templates import (IDEFICS_STANDARD_MEAN,
                                               IDEFICS_STANDARD_STD)
@@ -537,7 +538,8 @@ def _run_fuyu_worker(args):
         resolution = (int(h), int(w))
     stream_fn = make_fuyu_stream_fn(
         model, params, processor, cfg, tokenizer, resolution=resolution,
-        cache_dtype=jnp.int8 if args.cache_bit == "int8" else None)
+        cache_dtype=(args.cache_bit
+                     if args.cache_bit in ("int8", "int4") else None))
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(
         controller_addr=args.controller_address, worker_addr=addr,
@@ -587,10 +589,11 @@ def main():
                         "decode step (slot pool) instead of serializing")
     p.add_argument("--num-slots", type=int, default=4)
     p.add_argument("--cache-len", type=int, default=2048)
-    p.add_argument("--cache-bit", default="bf16", choices=["bf16", "int8"],
+    p.add_argument("--cache-bit", default="bf16", choices=["bf16", "int8", "int4"],
                    help="int8 quantizes the KV cache (per-position max-abs"
                         " scales, in-kernel dequant): half the cache HBM"
-                        " read per decode step at long contexts")
+                        " read per decode step at long contexts; int4"
+                        " nibble-packs head-dim pairs (quarter the read)")
     args = p.parse_args()
 
     import jax
@@ -642,7 +645,8 @@ def main():
         qfn = (quantize_params_int4 if args.load_bit == "int4"
                else quantize_params)
         params = {"params": qfn(params["params"])}
-    cache_dtype = jnp.int8 if args.cache_bit == "int8" else jnp.bfloat16
+    cache_dtype = (args.cache_bit if args.cache_bit in ("int8", "int4")
+                   else jnp.bfloat16)
     if args.continuous_batching:
         from otter_tpu.generation.batching import ContinuousBatcher
         batcher = ContinuousBatcher(model, params, cfg,

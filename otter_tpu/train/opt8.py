@@ -87,16 +87,63 @@ def scale_by_adam8(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
-        def upd(g, mq, ms, nq, ns):
-            g = g.astype(jnp.float32)
-            mu = _dequantize(mq, ms, g.shape)
-            nu_sqrt = _dequantize(nq, ns, g.shape)
+        def chunk_update(gc, mqc, msc, nqc, nsc, out_dtype):
+            """One chunk's f32 update math: [CH, block] in, quantized
+            states + a low-precision step out."""
+            gf = gc.astype(jnp.float32)
+            mu = mqc.astype(jnp.float32) * msc
+            nu_sqrt = nqc.astype(jnp.float32) * nsc
             nu = nu_sqrt * nu_sqrt
-            mu = b1 * mu + (1.0 - b1) * g
-            nu = b2 * nu + (1.0 - b2) * g * g
+            mu = b1 * mu + (1.0 - b1) * gf
+            nu = b2 * nu + (1.0 - b2) * gf * gf
             step = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
-            mq2, ms2 = _quantize(mu, block)
-            nq2, ns2 = _quantize(jnp.sqrt(nu), block)
+
+            def q(x):
+                amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+                s = jnp.where(amax > 0, amax / 127.0, 1.0)
+                return (jnp.clip(jnp.round(x / s), -127,
+                                 127).astype(jnp.int8), s)
+
+            mq2, ms2 = q(mu)
+            nq2, ns2 = q(jnp.sqrt(nu))
+            return step.astype(out_dtype), mq2, ms2, nq2, ns2
+
+        # Chunked-sequential update (lax.map = scan): the naive per-leaf
+        # form dequantizes m/v to full-size f32 transients and XLA's
+        # scheduler runs every leaf concurrently — at 7B xattn-FF shapes
+        # that is N x 256 MB of simultaneously-live HLO temps (measured
+        # 10-11 G, an OOM on a 16 G chip; an optimization_barrier chain
+        # did NOT bound it). Mapping over ~16 MB chunks of blocks bounds
+        # the transient to one chunk's working set per leaf, and the step
+        # leaves the map in the params dtype (bf16 in training), never
+        # materializing a full f32 tensor.
+        chunk_blocks = max(1, (16 << 20) // (4 * block))
+
+        def upd(g, mq, ms, nq, ns):
+            out_dtype = g.dtype
+            gb = _blocked(g, block)            # reshape view, params dtype
+            nb = gb.shape[0]
+            if nb <= chunk_blocks:
+                step, mq2, ms2, nq2, ns2 = chunk_update(
+                    gb, mq, ms, nq, ns, out_dtype)
+            else:
+                nch = -(-nb // chunk_blocks)
+                pad = nch * chunk_blocks - nb
+
+                def p(x, fill=0):
+                    return jnp.pad(x, ((0, pad), (0, 0)),
+                                   constant_values=fill) if pad else x
+
+                shaped = lambda x: x.reshape(nch, chunk_blocks, -1)
+                step, mq2, ms2, nq2, ns2 = jax.lax.map(
+                    lambda a: chunk_update(*a, out_dtype),
+                    (shaped(p(gb)), shaped(p(mq)), shaped(p(ms, 1)),
+                     shaped(p(nq)), shaped(p(ns, 1))))
+                unshape = lambda x: x.reshape(nch * chunk_blocks, -1)[:nb]
+                step, mq2, ms2, nq2, ns2 = map(
+                    unshape, (step, mq2, ms2, nq2, ns2))
+            n = g.size
+            step = step.reshape(-1)[:n].reshape(g.shape)
             return step, mq2, ms2, nq2, ns2
 
         out = jax.tree_util.tree_map(
@@ -104,9 +151,7 @@ def scale_by_adam8(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
         is_tup = lambda t: isinstance(t, tuple) and len(t) == 5
         pick = lambda i: jax.tree_util.tree_map(
             lambda t: t[i], out, is_leaf=is_tup)
-        steps = jax.tree_util.tree_map(
-            lambda s, g: s.astype(g.dtype), pick(0), updates)
-        return steps, ScaleByAdam8State(
+        return pick(0), ScaleByAdam8State(
             count=count, mu_q=pick(1), mu_s=pick(2),
             nu_q=pick(3), nu_s=pick(4))
 

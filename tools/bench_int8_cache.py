@@ -80,8 +80,11 @@ def main():
                                       init_cache(t, b, L, dtype)))
 
     which = sys.argv[3] if len(sys.argv) > 3 else "both"
-    variants = [("bf16", jnp.bfloat16), ("int8", jnp.int8)]
-    variants = [v for v in variants if which in (v[0], "both")]
+    variants = [("bf16", jnp.bfloat16), ("int8", jnp.int8),
+                ("int4", "int4")]
+    variants = [v for v in variants
+                if which in (v[0], "both", "all")
+                and (which == "all" or v[0] != "int4" or which == "int4")]
     for name, dtype in variants:
         ms = _marginal(lambda n: build(dtype, n)) * 1e3
         cache = jax.eval_shape(lambda: init_cache(t, b, L, dtype))

@@ -75,5 +75,51 @@ def main():
         np.asarray(jax.device_get(out.ravel()[0]))
     print(f"split (host u8 + device normalize): {timed(split):.1f} img/s")
 
+    webdataset_bench()
+
+
+def webdataset_bench(n=256):
+    """End-to-end LAION-pair webdataset pipeline (tar read + det-shuffle
+    + tokenize + decode + collate), native C++ batch decode vs per-image
+    PIL — the round-3 wiring of the native decoder into the pretraining
+    pipelines (MMC4 shares the same batch decoder per document)."""
+    import os
+    import tarfile
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "tests"))
+    from helpers import TinyTokenizer
+
+    from otter_tpu.data.webdataset import (ShardPipeline,
+                                           make_pair_preprocessor)
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp()
+    shard = os.path.join(tmp, "000000.tar")
+    with tarfile.open(shard, "w") as tf:
+        for i in range(n):
+            img = Image.fromarray(
+                (rng.random((480, 640, 3)) * 255).astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", quality=85)
+            for name, data in ((f"{i:06d}.jpg", buf.getvalue()),
+                               (f"{i:06d}.txt", b"a test caption")):
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+
+    tok = TinyTokenizer()
+    for label, use_native in (("pil", False), ("native", True)):
+        pipe = ShardPipeline(
+            [shard], make_pair_preprocessor(tok, native=use_native),
+            batch_size=64, shuffle_buffer=64)
+        t0 = time.perf_counter()
+        cnt = sum(b["images"].shape[0] for b in pipe)
+        dt = time.perf_counter() - t0
+        print(f"webdataset pair pipeline [{label}]: "
+              f"{cnt / dt:.1f} samples/s ({cnt} samples)")
+
+
 if __name__ == "__main__":
     main()

@@ -68,8 +68,10 @@ def build_bf16_params(cfg):
     return traverse_util.unflatten_dict(out, sep="/"), model
 
 
-def run_precision(cfg_text, np_params, quant):
+def run_precision(cfg_text, np_params, quant, cache="bf16"):
     """Device-run prefill logits + greedy decode for one precision.
+    `cache` selects the KV-cache storage (bf16 | int8 | int4) — the cache
+    axis of the quality study runs bf16 weights with quantized caches.
     Returns (prefill_logits [B,P,V] np.float32, decode_tokens [B,NEW])."""
     import jax
     import jax.numpy as jnp
@@ -96,9 +98,11 @@ def run_precision(cfg_text, np_params, quant):
     L = P + NEW
     mask = jnp.ones((B, P), jnp.int32)
 
+    cache_dtype = jnp.bfloat16 if cache == "bf16" else cache
+
     @jax.jit
     def prefill(params, ids):
-        cache = init_cache(cfg, B, L, jnp.bfloat16)
+        cache = init_cache(cfg, B, L, cache_dtype)
         logits, cache = model.apply(params, ids, attention_mask=mask,
                                     cache=cache)
         return logits, cache
@@ -183,10 +187,20 @@ def main():
     ref_logits, ref_toks = run_precision(cfg, np_params, None)
     print(f"# bf16 reference done ({time.time() - t0:.0f}s)",
           file=sys.stderr)
-    for quant in ("int8", "int4"):
-        q_logits, q_toks = run_precision(cfg, np_params, quant)
-        compare(quant, ref_logits, ref_toks, q_logits, q_toks)
-    head_study()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "weights"
+    if mode in ("weights", "all"):
+        for quant in ("int8", "int4"):
+            q_logits, q_toks = run_precision(cfg, np_params, quant)
+            compare(quant, ref_logits, ref_toks, q_logits, q_toks)
+        head_study()
+    if mode in ("cache", "all"):
+        # cache axis: bf16 weights, quantized KV storage (int8 cache
+        # shipped r2 with no quality evidence; int4 cache is new in r3)
+        for cb in ("int8", "int4"):
+            q_logits, q_toks = run_precision(cfg, np_params, None,
+                                             cache=cb)
+            compare(f"{cb} KV cache (bf16 weights)", ref_logits, ref_toks,
+                    q_logits, q_toks)
 
 
 if __name__ == "__main__":

@@ -64,12 +64,18 @@ def main():
     shapes = jax.eval_shape(OtterVLM(bf16_cfg, dtype=jnp.bfloat16).init,
                             jax.random.PRNGKey(0), vision_x,
                             batch["input_ids"])
+    # HOST-side zeros: the full bf16 tree (16.2 GB) must never touch the
+    # 16G chip — quantize on host, push int8 frozen + bf16 trainable only
     params = jax.tree_util.tree_map(
-        lambda sh: jnp.zeros(sh.shape, jnp.bfloat16 if jnp.issubdtype(
+        lambda sh: np.zeros(sh.shape, np.float32 if jnp.issubdtype(
             sh.dtype, jnp.floating) else sh.dtype), shapes)["params"]
     trainable, frozen = split_params(params, cfg)
     frozen = quantize_params(frozen, patterns=FROZEN_DECODER_PATTERNS)
-    frozen = jax.tree_util.tree_map(jnp.asarray, frozen)
+    tobf16 = lambda x: (jnp.asarray(x, jnp.bfloat16)
+                        if np.issubdtype(np.asarray(x).dtype, np.floating)
+                        else jnp.asarray(x))
+    frozen = jax.tree_util.tree_map(tobf16, frozen)
+    trainable = jax.tree_util.tree_map(tobf16, trainable)
 
     tx = make_optimizer(trainable, lr=1e-4, total_steps=100,
                         state_bits=state_bits)
