@@ -153,6 +153,15 @@ class ContinuousBatcher:
         self._beam_cand_fns: Dict[int, Any] = {}
         self._beam_reorder_fn = None
 
+        # pipelined decode: carried device slot state + in-flight
+        # iterations awaiting their token readback
+        self.pipeline_depth = 1
+        self._carried: Optional[Dict[str, Any]] = None
+        self._statics: Optional[Dict[str, Any]] = None
+        self._lp_list: Tuple = ()
+        self._dirty = True
+        self._inflight: List[tuple] = []
+
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -244,11 +253,13 @@ class ContinuousBatcher:
         if key in self._decode_fns:
             return self._decode_fns[key]
 
-        def decode(params, cache, buffer, valid, latents, toks, written,
-                   positions, media, active, lp_idx, valid_from,
-                   do_sample, temperature, top_k, top_p, eos, rng):
+        def decode(params, cache, buffer, valid, latents, toks, alive,
+                   written, emitted, real_len, media, lp_idx, valid_from,
+                   do_sample, temperature, top_k, top_p, eos, max_new,
+                   rng):
             cols = jnp.arange(self.L)[None, :]
             kv_valid = valid | (cols == written[:, None])
+            positions = real_len + emitted - 1
             logits, cache, _ = self.model.apply(
                 params, None, toks[:, None], vis_latents=latents,
                 cache=cache, cache_pos=written, kv_valid=kv_valid,
@@ -267,10 +278,16 @@ class ContinuousBatcher:
             nxt = sample_rows(rng, logits, do_sample=do_sample,
                               temperature=temperature, top_k=top_k,
                               top_p=top_p)
-            nxt = jnp.where(active, nxt, 0)
-            if need_logits:
-                return nxt, cache, buffer, valid, logits
-            return nxt, cache, buffer, valid
+            nxt = jnp.where(alive, nxt, 0)
+            # device-side slot-state advance: lets the scheduler dispatch
+            # iteration t+1 from t's DEVICE outputs, with no host readback
+            # on the critical path (the relay roundtrip overlaps compute)
+            emitted2 = emitted + alive
+            written2 = written + alive
+            alive2 = (alive & (nxt != eos) & (emitted2 < max_new)
+                      & (written2 < self.L))
+            out = (nxt, alive2, written2, emitted2, cache, buffer, valid)
+            return out + (logits,) if need_logits else out
 
         # donate cache/buffer/valid: threaded through the jit boundary
         # every step, reassigned from the returns
@@ -623,17 +640,12 @@ class ContinuousBatcher:
         for slot, tok_dev in started:
             self._admit_finish(slot, tok_dev)
 
-    def _step(self):
-        with self._lock:
-            slots = list(self._slots)
-        act = [s.active for s in slots]
-        if not any(act):
-            return False
-
+    def _static_args(self, slots):
+        """Per-admission host-built arrays + the distinct lp configs —
+        constant between admissions, rebuilt when `_dirty`."""
         def arr(fn, dtype):
             return jnp.asarray([fn(s) for s in slots], dtype)
 
-        # distinct sequence-ban configs among active slots
         lp_list: List[Tuple[int, Any]] = []
         lp_idx = []
         for s in slots:
@@ -645,37 +657,67 @@ class ContinuousBatcher:
                 lp_idx.append(lp_list.index(c))
             else:
                 lp_idx.append(-1)
+        return tuple(lp_list), dict(
+            real_len=arr(lambda s: s.real_len, jnp.int32),
+            media=arr(lambda s: s.media, jnp.int32),
+            lp_idx=jnp.asarray(lp_idx, jnp.int32),
+            valid_from=arr(lambda s: s.bucket - s.real_len, jnp.int32),
+            do_sample=arr(lambda s: bool(s.gen.do_sample)
+                          if s.gen else False, bool),
+            temperature=arr(lambda s: s.gen.temperature if s.gen
+                            and s.gen.do_sample and s.gen.temperature > 0
+                            else 1.0, jnp.float32),
+            top_k=arr(lambda s: s.gen.top_k if s.gen else 0, jnp.int32),
+            top_p=arr(lambda s: s.gen.top_p if s.gen else 1.0,
+                      jnp.float32),
+            eos=arr(lambda s: (s.gen.eos_token_id
+                               if s.gen and s.gen.eos_token_id is not None
+                               else self.cfg.eoc_token_id), jnp.int32),
+            max_new=arr(lambda s: s.gen.max_new_tokens if s.gen else 0,
+                        jnp.int32))
 
+    def _carried_args(self, slots):
+        return dict(
+            toks=jnp.asarray([s.last_tok for s in slots], jnp.int32),
+            alive=jnp.asarray([s.active for s in slots], bool),
+            written=jnp.asarray([s.written for s in slots], jnp.int32),
+            emitted=jnp.asarray([s.emitted for s in slots], jnp.int32))
+
+    def _dispatch(self, need_logits: bool):
+        """Dispatch one decode iteration with NO host sync; returns the
+        device results. Carried slot state (toks/alive/written/emitted)
+        flows device-to-device between iterations, so in steady state
+        the relay readback of iteration t overlaps iteration t+1's
+        compute (the r2 design forced every token before the next
+        dispatch: one full roundtrip per iteration on the critical
+        path)."""
+        slots = self._slots
+        if self._dirty or self._carried is None:
+            self._lp_list, self._statics = self._static_args(slots)
+            self._carried = self._carried_args(slots)
+            self._dirty = False
         self._rng, sub = jax.random.split(self._rng)
-        need_logits = any(s.active and s.group is not None for s in slots)
-        res = self._get_decode(tuple(lp_list), need_logits)(
+        st, ca = self._statics, self._carried
+        res = self._get_decode(self._lp_list, need_logits)(
             self.params, self._cache, self._buffer, self._valid,
-            self._latents,
-            arr(lambda s: s.last_tok, jnp.int32),
-            arr(lambda s: s.written, jnp.int32),
-            arr(lambda s: s.real_len + s.emitted - 1, jnp.int32),
-            arr(lambda s: s.media, jnp.int32),
-            arr(lambda s: s.active, bool),
-            jnp.asarray(lp_idx, jnp.int32),
-            arr(lambda s: s.bucket - s.real_len, jnp.int32),
-            arr(lambda s: bool(s.gen.do_sample) if s.gen else False, bool),
-            arr(lambda s: s.gen.temperature if s.gen
-                and s.gen.do_sample and s.gen.temperature > 0 else 1.0,
-                jnp.float32),
-            arr(lambda s: s.gen.top_k if s.gen else 0, jnp.int32),
-            arr(lambda s: s.gen.top_p if s.gen else 1.0, jnp.float32),
-            arr(lambda s: (s.gen.eos_token_id
-                           if s.gen and s.gen.eos_token_id is not None
-                           else self.cfg.eoc_token_id), jnp.int32),
-            sub)
-        if need_logits:
-            nxt, self._cache, self._buffer, self._valid, logits_dev = res
-            for grp in list(self._groups.values()):
-                self._beam_advance(grp, logits_dev)
-        else:
-            nxt, self._cache, self._buffer, self._valid = res
-        toks = np.asarray(nxt)
-        for i, s in enumerate(slots):
+            self._latents, ca["toks"], ca["alive"], ca["written"],
+            ca["emitted"], st["real_len"], st["media"], st["lp_idx"],
+            st["valid_from"], st["do_sample"], st["temperature"],
+            st["top_k"], st["top_p"], st["eos"], st["max_new"], sub)
+        (nxt, alive2, written2, emitted2, self._cache, self._buffer,
+         self._valid) = res[:7]
+        self._carried = dict(toks=nxt, alive=alive2, written=written2,
+                             emitted=emitted2)
+        return res
+
+    def _drain_one(self):
+        """Force the oldest in-flight iteration's tokens and stream them
+        (host mirrors of written/emitted/active advance exactly like the
+        device-side update in `decode`)."""
+        nxt_dev, snapshot = self._inflight.pop(0)
+        toks = np.asarray(nxt_dev)
+        for i in snapshot:
+            s = self._slots[i]
             if not s.active or s.group is not None:
                 continue
             tok = int(toks[i])
@@ -694,12 +736,53 @@ class ContinuousBatcher:
             else:
                 s.out.put(tok)
                 s.last_tok = tok
+
+    def _drain_all(self):
+        while self._inflight:
+            self._drain_one()
+
+    def _step(self):
+        if self._groups:
+            # beam groups force a host sync per iteration (top-2k
+            # readback + conditional reorder): run unpipelined
+            self._drain_all()
+            return self._step_sync()
+        if not any(s.active for s in self._slots):
+            self._drain_all()
+            return False
+        res = self._dispatch(need_logits=False)
+        self._inflight.append(
+            (res[0], [i for i, s in enumerate(self._slots) if s.active]))
+        while len(self._inflight) > self.pipeline_depth:
+            self._drain_one()
+        return True
+
+    def _step_sync(self):
+        slots = self._slots
+        if not any(s.active for s in slots):
+            return False
+        res = self._dispatch(need_logits=True)
+        logits_dev = res[7]
+        for grp in list(self._groups.values()):
+            self._beam_advance(grp, logits_dev)
+        self._inflight.append(
+            (res[0], [i for i, s in enumerate(slots) if s.active]))
+        self._drain_all()
+        # beam bookkeeping rewrote host slot state: rebuild carried
+        self._dirty = True
         return any(s.active for s in slots)
 
     def _loop(self):
         while not self._stop:
-            self._admit()
+            if not self._pending.empty() or self._deferred:
+                # admissions mutate pooled state and reuse freed slots:
+                # drain in-flight iterations first (frees slots, restores
+                # the host view), then insert
+                self._drain_all()
+                self._admit()
+                self._dirty = True
             busy = self._step()
-            if not busy and self._pending.empty():
+            if not busy and self._pending.empty() and not self._deferred:
+                self._drain_all()
                 self._work.clear()
                 self._work.wait(timeout=0.2)
