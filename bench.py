@@ -38,7 +38,12 @@ def main():
     # cache[:, layer] slice copy each step — see BENCH_NOTES r3)
     dk = {"1": True, "0": False}.get(
         os.environ.get("OTTER_DECODE_KERNEL", ""), cfg.text.decode_kernel)
-    cfg = cfg.replace(text=cfg.text.replace(quant="int8", decode_kernel=dk))
+    # whole-layer decode megakernel: −16% on the bare decoder but ~1%
+    # SLOWER end-to-end (loses XLA's cross-op overlap — BENCH_NOTES r3
+    # "megakernel" section); kept available for A/Bs, default OFF
+    mk_on = os.environ.get("OTTER_MEGAKERNEL", "0") == "1"
+    cfg = cfg.replace(text=cfg.text.replace(
+        quant="int8", decode_kernel=dk, megakernel=mk_on))
     model = OtterVLM(cfg, dtype=jnp.bfloat16)
 
     b, p = 8, 128
@@ -62,6 +67,10 @@ def main():
         return jnp.zeros(s.shape, s.dtype)
 
     params = jax.tree_util.tree_map(mk, shapes)
+    if mk_on:
+        # the megakernel reads ONE fused [Wqkv | Wo] operand per layer
+        from otter_tpu.ops.quant import add_fused_wqo
+        params = add_fused_wqo(params)
     eng = OtterGenerator(model, params, cfg)
 
     def window(new):
@@ -81,9 +90,15 @@ def main():
     tps = b / step
 
     # speed-of-light: one decode step reads every decode-path weight once
-    # (vision/perceiver excluded: latents cached) + the KV cache
-    n_int8 = sum(x.size for x in jax.tree_util.tree_leaves(params)
-                 if x.dtype == jnp.int8)
+    # (vision/perceiver excluded: latents cached) + the KV cache. With
+    # the megakernel, qkv+out live twice (originals for prefill + fused
+    # wqo for decode) but are READ once — count the fused copy only.
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(params, sep="/")
+    skip = (lambda k: "/Wqkv/" in k or "/out_proj/" in k) if mk_on \
+        else (lambda k: False)
+    n_int8 = sum(x.size for k, x in flat.items()
+                 if x.dtype == jnp.int8 and not skip(k))
     n_bf16 = sum(x.size for x in jax.tree_util.tree_leaves(params)
                  if x.dtype == jnp.bfloat16)
     vis = sum(x.size for kk in ("vision_encoder", "perceiver")

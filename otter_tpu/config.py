@@ -145,6 +145,13 @@ class TextConfig(_JsonMixin):
     # fused int8 decode layer tail (out-proj + residual + norm_2 + MLP in
     # one phased pallas_call) — see ops/quant.int8_attn_tail
     fused_tail: bool = False
+    # whole-layer decode megakernel (norm_1 + int8 qkv + cached attention
+    # + int8 out-proj in ONE pallas_call, cache read in-launch) — the
+    # first fusion design measured FASTER than the composed path (−16%
+    # bare-decoder step, BENCH_NOTES r3). MPT decode shapes, int8
+    # weights, bf16 cache, head_dim 128. Requires params transformed by
+    # ops.quant.add_fused_wqo (fused [Wqkv | Wo] leaves).
+    megakernel: bool = False
     # extra rows appended to the embedding for special tokens (<image>, <answer>,
     # <|endofchunk|>, <PAD>); reference resizes llama embeddings
     # (`modeling_otter.py:573-575`).

@@ -411,6 +411,23 @@ class _NormScaleHolder(nn.Module):
         return self.param("scale", nn.initializers.ones, (d,), jnp.float32)
 
 
+class _WQOHolder(nn.Module):
+    """Declares the decode megakernel's fused [Wqkv | Wo] int8 operand
+    (leaves `attn/wqo_q` [d, 4d] + `attn/wqo_scale` [4d], produced at
+    load time by `ops.quant.add_fused_wqo` next to the standard
+    per-projection leaves prefill keeps using)."""
+
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        wqo = self.param("wqo_q", nn.initializers.zeros,
+                         (self.d, 4 * self.d), jnp.int8)
+        sqo = self.param("wqo_scale", nn.initializers.ones,
+                         (4 * self.d,), jnp.float32)
+        return wqo, sqo
+
+
 class _FFNQHolder(nn.Module):
     """Declares the quantized MLP params (same tree as MLP's Int8Kernel
     holders) for the fused layer-tail kernel."""
@@ -446,6 +463,50 @@ class DecoderLayer(nn.Module):
             mlp = MLP(c, self.dtype, name="ffn")(
                 ln, decoding=cache is not None and cache_pos is not None)
             return x + attn + mlp, new_cache
+
+        if (c.megakernel
+                and c.quant == "int8" and c.no_bias and not c.qk_ln
+                and not c.clip_qkv
+                and c.num_attention_heads == c.kv_heads
+                and c.norm_type == "low_precision_layernorm"
+                and c.act == "gelu"
+                and cache is not None and cache_pos is not None
+                and getattr(cache_pos, "ndim", 0) == 0
+                and x.shape[1] == 1 and x.shape[0] <= 8
+                and cache["k"].dtype != jnp.int8
+                and bias is not None
+                and (c.head_dim == 128
+                     or jax.default_backend() != "tpu")):
+            # whole-layer decode megakernel (BENCH_NOTES r3: −16% bare-
+            # decoder step vs the composed path): norm_1 + qkv + cached
+            # attention + out-proj in one launch over the fused
+            # [Wqkv | Wo] leaves (ops.quant.add_fused_wqo); the new
+            # token's k/v come back and append via a 128 KB dus. With a
+            # SCALAR cache_pos the ALiBi column bias is batch-invariant
+            # (rel depends only on cache_pos), so row 0 serves every
+            # batch row. Assumes the uniform single-stream kv_valid
+            # (arange <= cache_pos).
+            from otter_tpu.ops.megakernel import decode_attn_megakernel
+            wqo, sqo = _WQOHolder(c.hidden_size, name="attn")()
+            ln1 = _NormScaleHolder(name="norm_1")(c.hidden_size)
+            bias_col = (bias[0, :, 0, :] if bias.ndim == 4
+                        else bias[0]).astype(jnp.float32)
+            y, kn, vn = decode_attn_megakernel(
+                x[:, 0].astype(self.dtype), cache["k"], cache["v"],
+                cache_pos, bias_col, ln1, wqo, sqo, layer=layer,
+                eps=c.norm_eps, sm_scale=c.head_dim ** -0.5,
+                interpret=jax.default_backend() != "tpu")
+            new_cache = dict(cache)
+            for key, val in (("k", kn), ("v", vn)):
+                new_cache[key] = jax.lax.dynamic_update_slice(
+                    cache[key],
+                    val[:, None, :, None, :].astype(cache[key].dtype),
+                    (0, layer, 0, cache_pos, 0))
+            x = y[:, None, :]
+            m = _norm(c, self.dtype, "norm_2")(x)
+            x = x + MLP(c, self.dtype, name="ffn")(m, decoding=True)
+            return x, new_cache
+
 
         a = _norm(c, self.dtype, "norm_1")(x)
         tokens = 1

@@ -148,15 +148,24 @@ def decode_attn_megakernel(
             step = j - n_qkv
             b = step // n_hb
             hb = step % n_hb
+            # Mosaic cannot address a single dynamic SUBLANE row (dynamic
+            # dim-0 indices must be 8-aligned): row b is extracted with a
+            # mask+sum over the full 8-row tile, and results are written
+            # back with a row-masked select over the full tile.
+            row_is_b = (lax.broadcasted_iota(jnp.int32, (m_pad, dh), 0)
+                        == b)
+
+            def row_b(part, hi):
+                colo = part * d + (hb * block_h + hi) * dh
+                tile = qkv_scr[:, pl.dslice(colo, dh)]      # [8, dh] f32
+                r = jnp.sum(jnp.where(row_is_b, tile, 0.0), axis=0,
+                            keepdims=True)                  # [1, dh]
+                return lax.broadcast_in_dim(r, (8, dh), (0, 1))
+
             for hi in range(block_h):
-                hh_base = hi * dh  # offset within this head block
-                # global head column offsets into the qkv scratch
-                col = lambda part: (part * d + (hb * block_h + hi) * dh)
-                qq = qkv_scr[pl.dslice(b, 1), pl.dslice(col(0), dh)]
-                qq = lax.broadcast_in_dim(qq, (8, dh), (0, 1)
-                                          ).astype(x_ref.dtype)
-                knew = qkv_scr[pl.dslice(b, 1), pl.dslice(col(1), dh)]
-                vnew = qkv_scr[pl.dslice(b, 1), pl.dslice(col(2), dh)]
+                qq = row_b(0, hi).astype(x_ref.dtype)
+                knew = row_b(1, hi)
+                vnew = row_b(2, hi)
 
                 kk = (k_ref[0, 0, hi] if stacked
                       else k_ref[0, hi])                # [L, Dh] bf16
@@ -172,7 +181,7 @@ def decode_attn_megakernel(
                 s_new = jnp.sum(
                     qq.astype(jnp.float32)
                     * knew.astype(x_ref.dtype).astype(jnp.float32),
-                    axis=1, keepdims=True) * sm_scale   # [8, 1]
+                    axis=1, keepdims=True) * sm_scale   # [8, 1] replicated
                 bias_new = jnp.sum(
                     jnp.where(cols == pos_v,
                               lax.broadcast_in_dim(brow, (8, L), (0, 1)),
@@ -188,12 +197,13 @@ def decode_attn_megakernel(
                 o = lax.dot_general(p.astype(vv.dtype), vv,
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-                o = o + p_new * lax.broadcast_in_dim(
-                    vnew.astype(x_ref.dtype).astype(jnp.float32),
-                    (8, dh), (0, 1))
+                o = o + p_new * vnew.astype(x_ref.dtype
+                                            ).astype(jnp.float32)
                 o = o / l
-                attn_scr[pl.dslice(b, 1), pl.dslice(col(0), dh)] = \
-                    o[:1].astype(attn_scr.dtype)
+                colo = (hb * block_h + hi) * dh
+                cur = attn_scr[:, pl.dslice(colo, dh)]
+                attn_scr[:, pl.dslice(colo, dh)] = jnp.where(
+                    row_is_b, o.astype(attn_scr.dtype), cur)
 
         @pl.when(j >= n_qkv + n_att)
         def _phase_wo():

@@ -448,6 +448,36 @@ def quantize_params(params: Any,
     return traverse_util.unflatten_dict(out, sep="/")
 
 
+def add_fused_wqo(params: Any) -> Any:
+    """Add the decode megakernel's fused [Wqkv | Wo] leaves
+    (`attn/wqo_q` [d, 4d] int8, `attn/wqo_scale` [4d]) next to each
+    decoder layer's quantized attention projections. One-time load
+    transform for `TextConfig(megakernel=True)`: the megakernel streams
+    qkv+out as ONE operand (a per-step in-jit concat would materialize a
+    64 MB copy every decode step), while prefill keeps using the
+    original leaves. Costs one extra int8 copy of qkv+out in HBM
+    (~2.1 GB on the 7B)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    new = {}
+    for k in list(flat):
+        m = re.match(r"(.*layers_\d+/attn)/Wqkv/kernel_q$", k)
+        if not m:
+            continue
+        base = m.group(1)
+        ok = base + "/out_proj/kernel_q"
+        if ok not in flat:
+            continue
+        new[base + "/wqo_q"] = jnp.concatenate(
+            [jnp.asarray(flat[k]), jnp.asarray(flat[ok])], axis=1)
+        new[base + "/wqo_scale"] = jnp.concatenate(
+            [jnp.asarray(flat[base + "/Wqkv/scale_q"], jnp.float32),
+             jnp.asarray(flat[base + "/out_proj/scale_q"], jnp.float32)])
+    flat.update(new)
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
 def quantize_kv(x: jnp.ndarray):
     """Symmetric per-row max-abs int8 for KV-cache entries: x [..., D] ->
     (int8 [..., D], f32 scale [...]). Row granularity = one (position,

@@ -151,3 +151,61 @@ def test_full_layer_megakernel_appends_cache():
         np.asarray(kn.astype(kc.dtype), np.float32))
     np.testing.assert_array_equal(np.asarray(kc2[:, :, pos + 1]),
                                   np.asarray(kc[:, :, pos + 1]))
+
+
+def test_model_level_megakernel_decode_matches_int8_path(rng=None):
+    """TextConfig(megakernel=True) cached decode (after
+    ops.quant.add_fused_wqo) tracks the standard int8 decode path."""
+    import numpy as np
+
+    from otter_tpu.config import TextConfig
+    from otter_tpu.models.decoder import Decoder, init_cache
+    from otter_tpu.ops.quant import add_fused_wqo, quantize_params
+
+    rng = np.random.default_rng(3)
+    cfg0 = TextConfig(arch="mpt", vocab_size=128, hidden_size=256,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      max_seq_len=64, pos="alibi",
+                      norm_type="low_precision_layernorm", act="gelu",
+                      tie_embeddings=True, no_bias=True)
+    assert cfg0.head_dim == 128
+    m0 = Decoder(cfg0)
+    b, s, max_len = 2, 8, 16
+    ids = jnp.asarray(rng.integers(0, cfg0.vocab_size, (b, s)), jnp.int32)
+    params = m0.init(jax.random.PRNGKey(0), ids)
+    qparams = add_fused_wqo(quantize_params(params))
+
+    def run(cfg):
+        m = Decoder(cfg)
+        cache = init_cache(cfg, b, max_len, jnp.bfloat16)
+        _, cache = m.apply(qparams, ids, cache=cache)
+        outs = []
+        pos = s
+        tok = ids[:, -1:]
+        for _ in range(3):
+            kv_valid = (jnp.arange(max_len)[None] <= pos)
+            logits, cache = m.apply(
+                qparams, tok, cache=cache, cache_pos=pos,
+                kv_valid=kv_valid,
+                positions=jnp.full((b, 1), pos, jnp.int32))
+            outs.append(np.asarray(logits[:, 0], np.float32))
+            tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+            pos += 1
+        return outs
+
+    ref = run(cfg0.replace(quant="int8"))
+    got = run(cfg0.replace(quant="int8", megakernel=True))
+    for a, e in zip(got, ref):
+        np.testing.assert_allclose(a, e, atol=5e-2, rtol=5e-2)
+
+    # prove the megakernel branch actually executed: without the fused
+    # wqo leaves the decode apply must fail on the missing param
+    mcfg = cfg0.replace(quant="int8", megakernel=True)
+    m = Decoder(mcfg)
+    cache = init_cache(mcfg, b, max_len, jnp.bfloat16)
+    qonly = quantize_params(params)        # no add_fused_wqo
+    _, cache = m.apply(qonly, ids, cache=cache)   # prefill ok
+    with pytest.raises(Exception):
+        m.apply(qonly, ids[:, -1:], cache=cache, cache_pos=s,
+                kv_valid=(jnp.arange(max_len)[None] <= s),
+                positions=jnp.full((b, 1), s, jnp.int32))

@@ -10,6 +10,7 @@ Usage: bench_int8_cache.py [cache_len] [batch]   (default 2048, 1 — at
 L=2048 the 7B's bf16 cache is 4.3 GB/row-batch; one v5e fits b1)
 """
 
+import functools
 import sys
 import time
 
@@ -64,8 +65,12 @@ def main():
 
     def build(dtype, n):
         # the cache is loop-CARRIED so the in-place dus updates it in HBM
-        # (a closed-over cache would force a full copy-on-write per step)
-        @jax.jit
+        # (a closed-over cache would force a full copy-on-write per step).
+        # It is donated AND returned: without a matching output the
+        # donation is unusable and the loop carry double-buffers the
+        # cache as a temp (measured: b4 L=4096 int8 = args 11.3 GB +
+        # temp 4.4 GB -> OOMs one 16G chip; with the alias it fits)
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def run(params, tok, cache):
             def body(i, carry):
                 tok, cache = carry
@@ -75,9 +80,13 @@ def main():
                 return (jnp.argmax(logits[:, -1:], -1).astype(jnp.int32),
                         cache)
             tok, cache = lax.fori_loop(0, n, body, (tok, cache))
-            return tok
-        return lambda: np.asarray(run(params, ids1,
-                                      init_cache(t, b, L, dtype)))
+            return tok, cache
+
+        def call():
+            tok, cache = run(params, ids1, init_cache(t, b, L, dtype))
+            del cache          # free before the next call allocates
+            return np.asarray(tok)
+        return call
 
     which = sys.argv[3] if len(sys.argv) > 3 else "both"
     variants = [("bf16", jnp.bfloat16), ("int8", jnp.int8),
