@@ -46,6 +46,30 @@ def _round_bucket(n: int, buckets: Tuple[int, ...]) -> int:
                      f"{buckets[-1]}")
 
 
+def autotune_num_slots(params, cfg, cache_len: int, cache_dtype,
+                       *, hbm_bytes: float = 16e9,
+                       headroom_bytes: float = 1.5e9,
+                       max_slots: int = 32) -> int:
+    """Slot-count autotuning: the largest pool whose KV cache fits the
+    declared HBM budget next to the resident params.
+
+    budget = hbm_bytes − params − headroom (workspace/temps/latents);
+    per-slot cost = one cache row (k+v and, for quantized caches, their
+    scales). The tunnel backend exposes no memory_stats, so the budget
+    is declared, not probed — pass the device's real capacity (v5e:
+    16e9). Returns at least 1 (a model whose single-slot footprint
+    exceeds the budget will OOM regardless of the pool size)."""
+    param_bytes = sum(
+        np.prod(x.shape) * jnp.dtype(x.dtype).itemsize
+        for x in jax.tree_util.tree_leaves(params))
+    row = jax.eval_shape(
+        lambda: init_cache(cfg.text, 1, cache_len, cache_dtype))
+    row_bytes = sum(x.size * jnp.dtype(x.dtype).itemsize
+                    for x in jax.tree_util.tree_leaves(row))
+    free = hbm_bytes - float(param_bytes) - headroom_bytes
+    return max(1, min(max_slots, int(free // max(row_bytes, 1))))
+
+
 def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
     """Vectorized per-row sampling: every control is a [B] array."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -72,6 +96,9 @@ def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
 @dataclass
 class _Slot:
     active: bool = False
+    pending: bool = False   # admitted (prefill dispatched), first token
+    #                         not yet forced — excluded from decode,
+    #                         unavailable for re-admission
     gen: Optional[GenerationConfig] = None
     out: Optional[queue.Queue] = None
     real_len: int = 0       # true prompt tokens (pads excluded)
@@ -111,14 +138,18 @@ class ContinuousBatcher:
     iterator of token ids; a background thread multiplexes all requests
     through one decode step per iteration."""
 
-    def __init__(self, model, params, cfg, *, num_slots: int = 4,
+    def __init__(self, model, params, cfg, *, num_slots=4,
                  cache_len: int = 2048,
                  buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024),
                  max_media: int = 1, cache_dtype=jnp.bfloat16,
-                 rng_seed: int = 0, max_admits_per_iter: int = 1):
+                 rng_seed: int = 0, max_admits_per_iter: int = 1,
+                 hbm_bytes: float = 16e9):
         self.model = model
         self.params = params
         self.cfg = cfg
+        if num_slots == "auto":
+            num_slots = autotune_num_slots(
+                params, cfg, cache_len, cache_dtype, hbm_bytes=hbm_bytes)
         self.n = num_slots
         self.L = cache_len
         self.buckets = tuple(sorted(buckets))
@@ -162,6 +193,17 @@ class ContinuousBatcher:
         self._dirty = True
         self._inflight: List[tuple] = []
 
+        # admission finisher: first-token forces are ~30 ms relay
+        # readbacks; doing them on the scheduler thread stalls every
+        # active decode stream for the duration. The finisher thread
+        # owns the blocking readback; the slot joins the decode pool
+        # (pending -> active) when its token lands in `_finished`.
+        self._force_q: "queue.Queue[tuple]" = queue.Queue()
+        self._finished: List[tuple] = []
+        self._finisher = threading.Thread(target=self._force_loop,
+                                          daemon=True)
+        self._finisher.start()
+
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -197,11 +239,37 @@ class ContinuousBatcher:
         self._stop = True
         self._work.set()
         self._thread.join(timeout=10)
+        self._finisher.join(timeout=10)
 
     def active_count(self) -> int:
         with self._lock:
-            return (sum(s.active for s in self._slots)
+            return (sum(s.active or s.pending for s in self._slots)
                     + self._pending.qsize())
+
+    def _force_loop(self):
+        """Finisher thread: blocks on each admitted first token's
+        device->host readback off the scheduler's critical path."""
+        while not self._stop:
+            try:
+                slot, dev = self._force_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            tok = int(np.asarray(dev))
+            with self._lock:
+                self._finished.append((slot, tok))
+            self._work.set()
+
+    def _collect_admitted(self):
+        """Scheduler-thread half of async admission: move force-completed
+        slots into the decode pool. Caller must have drained in-flight
+        iterations (slot state mutates here)."""
+        with self._lock:
+            done, self._finished = self._finished, []
+        for slot, tok in done:
+            slot.pending = False
+            slot.active = True
+            self._admit_finish_slot(slot, tok)
+            self._dirty = True
 
     # ── jitted pieces ─────────────────────────────────────────────────
 
@@ -337,7 +405,7 @@ class ContinuousBatcher:
             return self._admit_start_beam(vision_x, lang_x, gen, out,
                                           t_submit)
         free = next((i for i, s in enumerate(self._slots)
-                     if not s.active), None)
+                     if not s.active and not s.pending), None)
         assert free is not None
         lang_x = np.asarray(lang_x)
         real = int(lang_x.shape[1])
@@ -377,7 +445,12 @@ class ContinuousBatcher:
         slot.written = bucket
         slot.emitted = 1
         slot.media = int(np.sum(lang_x == self.cfg.media_token_id))
-        slot.active = True
+        # pending, NOT active: the slot joins the decode pool when the
+        # finisher thread lands its first token (`_collect_admitted`);
+        # until then decode iterations exclude the row (its speculative
+        # cache/buffer writes are overwritten by the first real step)
+        slot.pending = True
+        slot.active = False
         slot.t_submit = t_submit
         return slot, tok_dev
 
@@ -387,7 +460,8 @@ class ContinuousBatcher:
         replicated into each beam row, then a top-k fan-out over the
         prefill logits (generation/beam.py `_beam_setup` first step)."""
         k = gen.num_beams
-        free = [i for i, s in enumerate(self._slots) if not s.active][:k]
+        free = [i for i, s in enumerate(self._slots)
+                if not s.active and not s.pending][:k]
         assert len(free) == k
         lang_x = np.asarray(lang_x)
         real = int(lang_x.shape[1])
@@ -602,7 +676,8 @@ class ContinuousBatcher:
         started = []
 
         def free_count():
-            return sum(not s.active for s in self._slots)
+            return sum(not s.active and not s.pending
+                       for s in self._slots)
 
         def try_start(item) -> bool:
             need = max(1, item[2].num_beams)
@@ -631,14 +706,18 @@ class ContinuousBatcher:
             if not try_start(item):
                 self._deferred.append(item)
         # dispatch-then-force: all K prefills are already in flight
-        # (pipelined on device); forcing each first token in dispatch
-        # order keeps request 1's TTFT at its OWN prefill latency while
-        # later forces return as their prefill completes. (Forcing all K
-        # in one stacked readback was measured to inflate ttft_p50
-        # 151 -> 468 ms at 4 concurrent submits: the first stream waited
-        # on every prefill.)
+        # (pipelined on device). Single-stream first tokens are forced
+        # on the FINISHER thread (each force is a full relay roundtrip;
+        # on the scheduler thread it stalled every active decode stream)
+        # — the queue preserves dispatch order so request 1's TTFT stays
+        # at its own prefill latency. Beam groups keep the inline force:
+        # their host-side beam state must exist before the next _step
+        # treats the group as sync.
         for slot, tok_dev in started:
-            self._admit_finish(slot, tok_dev)
+            if isinstance(slot, _BeamGroup):
+                self._admit_finish(slot, tok_dev)
+            else:
+                self._force_q.put((slot, tok_dev))
 
     def _static_args(self, slots):
         """Per-admission host-built arrays + the distinct lp configs —
@@ -774,15 +853,22 @@ class ContinuousBatcher:
 
     def _loop(self):
         while not self._stop:
-            if not self._pending.empty() or self._deferred:
+            if (not self._pending.empty() or self._deferred
+                    or self._finished):
                 # admissions mutate pooled state and reuse freed slots:
                 # drain in-flight iterations first (frees slots, restores
-                # the host view), then insert
+                # the host view), then activate finished admissions and
+                # insert new ones
                 self._drain_all()
+                self._collect_admitted()
                 self._admit()
                 self._dirty = True
             busy = self._step()
-            if not busy and self._pending.empty() and not self._deferred:
+            if (not busy and self._pending.empty() and not self._deferred
+                    and not self._finished):
+                # pending-only states park here too: the finisher sets
+                # _work when a first token lands (worst case the 0.2 s
+                # timeout covers a lost wakeup)
                 self._drain_all()
                 self._work.clear()
                 self._work.wait(timeout=0.2)

@@ -322,3 +322,83 @@ def test_beam_num_beams_capped_at_pool(rng):
     finally:
         batcher.shutdown()
     assert 0 <= len(got) <= 3
+
+
+def test_autotune_num_slots_math(rng):
+    """num_slots="auto" sizes the pool from the declared HBM budget:
+    (budget - params - headroom) // cache-row bytes, clamped to
+    [1, max_slots]."""
+    from otter_tpu.generation.batching import autotune_num_slots
+
+    cfg, model, params, _, _ = _tiny(rng)
+    param_bytes = sum(
+        np.prod(x.shape) * jnp.dtype(x.dtype).itemsize
+        for x in jax.tree_util.tree_leaves(params))
+    t = cfg.text
+    row_bytes = (2 * t.num_hidden_layers * 64 * t.hidden_size
+                 * jnp.dtype(jnp.float32).itemsize)
+
+    # budget for exactly 3 rows after params + headroom
+    n = autotune_num_slots(params, cfg, 64, jnp.float32,
+                           hbm_bytes=param_bytes + 3.5 * row_bytes,
+                           headroom_bytes=0.0)
+    assert n == 3
+    # starved budget still returns 1; huge budget clamps at max_slots
+    assert autotune_num_slots(params, cfg, 64, jnp.float32,
+                              hbm_bytes=0.0) == 1
+    assert autotune_num_slots(params, cfg, 64, jnp.float32,
+                              hbm_bytes=1e15, max_slots=32) == 32
+    # int8 cache rows are ~half the bytes -> at least as many slots
+    n8 = autotune_num_slots(params, cfg, 64, jnp.int8,
+                            hbm_bytes=param_bytes + 3.5 * row_bytes,
+                            headroom_bytes=0.0)
+    assert n8 >= n
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots="auto",
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                hbm_bytes=param_bytes + 3.5 * row_bytes
+                                + 1.5e9)
+    try:
+        assert batcher.n == 3
+    finally:
+        batcher.shutdown()
+
+
+def test_async_admission_bookkeeping(rng):
+    """First-token forces ride the finisher thread: slots are `pending`
+    (excluded from decode, unavailable for re-admission) until the token
+    lands, and a flood of submissions larger than the pool still
+    delivers every stream exactly (exercises pending -> active -> freed
+    -> re-admitted transitions under the async path)."""
+    cfg, model, params, _, _ = _tiny(rng)
+    reqs = []
+    for s in (8, 9, 10, 11, 12, 8):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, 0] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        reqs.append((vx, ids))
+    expected = [_reference_tokens(model, params, cfg, vx, ids, 4)
+                for vx, ids in reqs]
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                max_admits_per_iter=2)
+    try:
+        streams = [batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=4))
+                   for vx, ids in reqs]
+        # pool is 2 wide, 6 requests: slots must cycle through pending
+        # at least once; the invariant active+pending <= num_slots holds
+        # whenever sampled
+        for _ in range(10):
+            assert sum(s.active or s.pending
+                       for s in batcher._slots) <= batcher.n
+            time.sleep(0.02)
+        got = [list(s) for s in streams]
+    finally:
+        batcher.shutdown()
+    for g, e in zip(got, expected):
+        assert g[: len(e)] == e, (g, e)

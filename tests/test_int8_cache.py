@@ -45,8 +45,13 @@ def test_decode_attention_int8_matches_dequant(rng):
     ref = decode_attention(q, dequantize_kv(kq, ks, jnp.float32),
                            dequantize_kv(vq, vs, jnp.float32),
                            lengths, bias, interpret=True)
+    # the kernel reads scales as bf16 (deliberate: f32 scale traffic
+    # costs 25% of the int8 savings at d=128) while dequantize_kv uses
+    # f32 exactly — up to ~2^-8 relative skew per (position, head),
+    # amplified through softmax. 2e-3 flaked on unlucky draws of the
+    # session-scoped rng (order-dependent data); 1e-2 covers the bound.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-3, rtol=2e-3)
+                               atol=1e-2, rtol=1e-2)
 
 
 @pytest.mark.parametrize("arch", ["mpt", "llama"])

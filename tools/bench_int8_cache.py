@@ -55,9 +55,12 @@ def main():
     kv_valid = jnp.asarray(np.arange(L)[None, :] <= ctx).repeat(b, 0)
     pos = jnp.full((b, 1), ctx, jnp.int32)
 
-    cache_bf = init_cache(t, b, L, jnp.bfloat16)
+    # ABSTRACT cache for shape inference: a real bf16 cache here is
+    # b*NL*2*L*d*2 bytes held for the whole run (8.9 GB at b4 L=4096 —
+    # it OOMed the chip before the int8/int4 variants even started)
+    cache_abs = jax.eval_shape(lambda: init_cache(t, b, L, jnp.bfloat16))
     shapes = jax.eval_shape(dec.init, jax.random.PRNGKey(0), ids1,
-                            cache=cache_bf, cache_pos=ctx,
+                            cache=cache_abs, cache_pos=ctx,
                             kv_valid=kv_valid, positions=pos)
     params = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype if not jnp.issubdtype(
