@@ -173,18 +173,22 @@ class SelfAttention(nn.Module):
             k = PerHeadRMS(eps=c.norm_eps, dtype=self.dtype, name="k_ln")(k)
 
         new_cache = None
-        quant_cache = cache is not None and cache["k"].dtype == jnp.int8
-        # int4 cache: packed int8 storage at half the head dim
-        int4_cache = quant_cache and cache["k"].shape[-1] == d // 2
+        # int4 cache: k|v nibble-fused into one "kv" array (quant.py)
+        int4_cache = cache is not None and "kv" in cache
+        quant_cache = int4_cache or (
+            cache is not None and cache["k"].dtype == jnp.int8)
 
         def write_cache(cache, k, v, pos):
             """Append k/v [B,hk,S,D] at offset `pos` (scalar, or [B] with
             S==1) into the stacked cache, quantizing when it is int8."""
             upd = dict(cache)
-            if quant_cache:
-                from otter_tpu.ops.quant import quantize_kv, quantize_kv_int4
-                qfn = quantize_kv_int4 if int4_cache else quantize_kv
-                (kq, ksc), (vq, vsc) = qfn(k), qfn(v)
+            if int4_cache:
+                from otter_tpu.ops.quant import quantize_kv_int4
+                kvq, ksc, vsc = quantize_kv_int4(k, v)
+                vals = {"kv": kvq, "k_scale": ksc, "v_scale": vsc}
+            elif quant_cache:
+                from otter_tpu.ops.quant import quantize_kv
+                (kq, ksc), (vq, vsc) = quantize_kv(k), quantize_kv(v)
                 vals = {"k": kq, "v": vq, "k_scale": ksc, "v_scale": vsc}
             else:
                 vals = {"k": k, "v": v}
@@ -215,8 +219,9 @@ class SelfAttention(nn.Module):
             if getattr(cache_pos, "ndim", 0) == 1:
                 assert s == 1, "per-row cache_pos requires q_len == 1"
             new_cache = write_cache(cache, k, v, cache_pos)
-            if self._use_decode_kernel(new_cache["k"]) and s == 1 \
-                    and q.shape[1] == new_cache["k"].shape[2]:
+            main = new_cache["kv" if int4_cache else "k"]
+            if self._use_decode_kernel(main) and s == 1 \
+                    and q.shape[1] == main.shape[2]:
                 # Pallas decode kernel on the STACKED cache: the layer is
                 # selected inside the BlockSpec index map, so the kernel
                 # reads its blocks straight from the stacked buffer —
@@ -225,7 +230,7 @@ class SelfAttention(nn.Module):
                 # ~1.2 ms on the 7B at b8). Valid blocks only; int8 caches
                 # dequantize in-register.
                 from otter_tpu.ops.decode_attention import decode_attention
-                L = new_cache["k"].shape[3]
+                L = main.shape[3]
                 idx = jnp.arange(L)[None, :]
                 valid = kv_valid.astype(bool)
                 lengths = jnp.max(jnp.where(valid, idx + 1, 0), axis=-1)
@@ -237,20 +242,27 @@ class SelfAttention(nn.Module):
                            "kv_bits": 4 if int4_cache else 8}
                           if quant_cache else {})
                 out = decode_attention(
-                    q[:, :, 0, :], new_cache["k"], new_cache["v"], lengths,
+                    q[:, :, 0, :], main,
+                    main if int4_cache else new_cache["v"], lengths,
                     b2, starts=starts, layer=layer,
                     sm_scale=self._scale(), **scales,
                     interpret=jax.default_backend() != "tpu")[:, :, None, :]
             else:
-                ckl = new_cache["k"][:, layer]
-                cvl = new_cache["v"][:, layer]
-                if quant_cache:
-                    from otter_tpu.ops.quant import (dequantize_kv,
-                                                     dequantize_kv_int4)
-                    dqfn = (dequantize_kv_int4 if int4_cache
-                            else dequantize_kv)
-                    ckl = dqfn(ckl, new_cache["k_scale"][:, layer], q.dtype)
-                    cvl = dqfn(cvl, new_cache["v_scale"][:, layer], q.dtype)
+                if int4_cache:
+                    from otter_tpu.ops.quant import dequantize_kv_int4
+                    ckl, cvl = dequantize_kv_int4(
+                        new_cache["kv"][:, layer],
+                        new_cache["k_scale"][:, layer],
+                        new_cache["v_scale"][:, layer], q.dtype)
+                else:
+                    ckl = new_cache["k"][:, layer]
+                    cvl = new_cache["v"][:, layer]
+                    if quant_cache:
+                        from otter_tpu.ops.quant import dequantize_kv
+                        ckl = dequantize_kv(
+                            ckl, new_cache["k_scale"][:, layer], q.dtype)
+                        cvl = dequantize_kv(
+                            cvl, new_cache["v_scale"][:, layer], q.dtype)
                 out = _decode_attention(q, ckl, cvl, kv_valid, bias,
                                         sm_scale=self._scale())
         else:
@@ -473,7 +485,7 @@ class DecoderLayer(nn.Module):
                 and cache is not None and cache_pos is not None
                 and getattr(cache_pos, "ndim", 0) == 0
                 and x.shape[1] == 1 and x.shape[0] <= 8
-                and cache["k"].dtype != jnp.int8
+                and "k" in cache and cache["k"].dtype != jnp.int8
                 and bias is not None
                 and (c.head_dim == 128
                      or jax.default_backend() != "tpu")):
@@ -615,7 +627,7 @@ class Decoder(nn.Module):
         if c.pos == "alibi":
             slopes = alibi_slopes(c.num_attention_heads, c.alibi_bias_max)
             if decoding:
-                L = cache["k"].shape[3]
+                L = cache_len_of(cache)
                 # column j gets (j - last_pos) * slope; last_pos = cache_pos+s-1
                 # (cache_pos scalar, or [B] for per-row continuous batching)
                 last = jnp.broadcast_to(jnp.asarray(cache_pos) + s - 1, (b,))
@@ -629,7 +641,7 @@ class Decoder(nn.Module):
         if decoding:
             # intra-block causality for s>1 decode steps
             if s > 1:
-                L = cache["k"].shape[3]
+                L = cache_len_of(cache)
                 qpos = cache_pos + jnp.arange(s)
                 block_mask = jnp.arange(L)[None, :] <= qpos[:, None]
                 mb = jnp.where(block_mask, 0.0, DEFAULT_MASK_VALUE)
@@ -739,15 +751,20 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
     int8 entries plus f32 per-(position, head) max-abs scales — half the
     HBM read per decode step where the cache dominates (long contexts),
     dequantized in-register by the Pallas decode kernel. dtype="int4"
-    nibble-packs pairs of head dims into one int8 byte (quarter the bf16
-    read; `ops.quant.quantize_kv_int4` half-and-half pairing, unpacked
-    in-register by the kernel)."""
+    fuses k and v by NIBBLE PLANE into ONE "kv" array (byte = k4 | v4<<4,
+    `ops.quant.quantize_kv_int4`): 0.5 bytes per element with the full
+    128-lane minor dim — a [.., head_dim/2]-packed layout is lane-padded
+    back to int8 size physically and triggered XLA compression copies
+    (see quantize_kv_int4's docstring for the measurement)."""
     int4 = dtype == "int4"
     if dtype in ("int8", "int4"):
         dtype = jnp.int8
-    hd = cfg.head_dim // 2 if int4 else cfg.head_dim
-    shape = (batch, cfg.num_hidden_layers, cfg.kv_heads, max_len, hd)
-    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (batch, cfg.num_hidden_layers, cfg.kv_heads, max_len,
+             cfg.head_dim)
+    if int4:
+        cache = {"kv": jnp.zeros(shape, jnp.int8)}
+    else:
+        cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if dtype == jnp.int8:
         cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
         cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
@@ -756,4 +773,4 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
 
 def cache_len_of(cache) -> int:
     """Sequence capacity of a cache pytree."""
-    return cache["k"].shape[3]
+    return cache["kv" if "kv" in cache else "k"].shape[3]

@@ -78,7 +78,13 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     """
     int4 = kv_bits == 4 and k_scale is not None
     bsz, h, d = q.shape
-    d_kv = d // 2 if int4 else d     # packed cache lane width
+    # int4: k and v are NIBBLE-FUSED in one [.., L, D] int8 array (k in
+    # the low nibbles, v in the high — quant.quantize_kv_int4). The
+    # caller passes the same array as k and v; only ONE operand is wired
+    # so each block is fetched from HBM once. Full 128-lane minor dim:
+    # the former [.., D/2] packing was lane-padded to int8 size
+    # physically and triggered XLA compression-copy churn.
+    d_kv = d
     stacked = layer is not None
     L = k.shape[3] if stacked else k.shape[2]
     if sm_scale is None:
@@ -121,9 +127,11 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     in_specs = [
         pl.BlockSpec((1, block_h, 8, d), lambda b, hh, j, *_: (b, hh, 0, 0)),
         kv_spec,
-        kv_spec,
     ]
-    args = [q8, k, v]
+    args = [q8, k]
+    if not int4:
+        in_specs.append(kv_spec)
+        args.append(v)
     if has_bias:
         # sublane-replicate the per-head column bias so the block shape
         # satisfies the TPU (8, 128) tiling minimum
@@ -145,7 +153,8 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
 
     def kernel(lengths_ref, starts_ref, *refs):
         it = iter(refs)
-        q_ref, k_ref, v_ref = next(it), next(it), next(it)
+        q_ref, k_ref = next(it), next(it)
+        v_ref = k_ref if int4 else next(it)   # int4: fused kv block
         bias_ref = next(it) if has_bias else None
         ks_ref = next(it) if quant else None
         vs_ref = next(it) if quant else None
@@ -169,13 +178,11 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
             for hh in range(block_h):
                 qq = q_ref[0, hh]                 # [8, D]
                 kk = (k_ref[0, 0, hh] if stacked
-                      else k_ref[0, hh])          # [block_k, D | D/2]
+                      else k_ref[0, hh])          # [block_k, D]
                 if int4:
-                    # unpack nibbles in-register; half-and-half pairing
-                    # means concat on the lane dim restores natural order
-                    kp = kk.astype(jnp.int32)
-                    kk = jnp.concatenate([(kp << 28) >> 28, kp >> 4],
-                                         axis=1).astype(qq.dtype)
+                    # low nibbles = k, sign-extended by the shift pair
+                    kk = ((kk.astype(jnp.int32) << 28) >> 28
+                          ).astype(qq.dtype)
                 elif quant:
                     kk = kk.astype(qq.dtype)      # int8 -> compute dtype
                 s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
@@ -204,9 +211,8 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                     # fold the per-value-row scale into the probability row
                     p = p * vs_ref[0, hh]
                     if int4:
-                        vp = vv.astype(jnp.int32)
-                        vv = jnp.concatenate([(vp << 28) >> 28, vp >> 4],
-                                             axis=1).astype(qq.dtype)
+                        # high nibbles = v; arithmetic shift keeps sign
+                        vv = (vv.astype(jnp.int32) >> 4).astype(qq.dtype)
                     else:
                         vv = vv.astype(qq.dtype)
                 o_curr = lax.dot_general(p.astype(vv.dtype), vv,

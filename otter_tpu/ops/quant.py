@@ -494,30 +494,44 @@ def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray,
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
-def quantize_kv_int4(x: jnp.ndarray):
-    """Symmetric per-row max-abs int4 for KV-cache entries, nibble-packed
-    along the HEAD dim with half-and-half pairing (byte j holds dims j and
-    j + D/2, like `quantize_kernel_int4(pack_axis=0)`): x [..., D] ->
-    (packed int8 [..., D/2], f32 scale [...]). Quarter the bf16 cache
-    read; the decode kernel unpacks in-register (concat on the lane dim
-    restores natural order)."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int32)
-    half = x.shape[-1] // 2
-    lo, hi = q[..., :half], q[..., half:]
-    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
-    return packed, scale
+def quantize_kv_int4(k: jnp.ndarray, v: jnp.ndarray):
+    """Symmetric per-row max-abs int4 for KV-cache entries, k and v fused
+    by NIBBLE PLANE: byte(..., d) = k4[..., d] | v4[..., d] << 4, so one
+    [..., D] int8 array carries both tensors at 0.5 bytes/element each.
+
+    Returns (kv_packed int8 [..., D], k_scale f32 [...], v_scale [...]).
+
+    Why nibble planes and not head-dim pairs: a [..., D/2]-packed array
+    has a 64-lane minor dim, which the TPU tiled layout pads to 128 —
+    the \"int4\" cache then physically occupies int8-size HBM, and XLA's
+    memory-space-assignment fights the padding with full-array
+    compression copies (measured: 731 ms/step vs 21 at b4 L=4096 on the
+    7B, temp arena 4.4 GB vs 0.03). The fused layout keeps the natural
+    128-lane minor dim, reads k and v in ONE block stream, and unpacks
+    with two shifts (no lane concat)."""
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    ka = jnp.max(jnp.abs(kf), axis=-1)
+    va = jnp.max(jnp.abs(vf), axis=-1)
+    k_scale = jnp.where(ka > 0, ka / 7.0, 1.0)
+    v_scale = jnp.where(va > 0, va / 7.0, 1.0)
+    k4 = jnp.clip(jnp.round(kf / k_scale[..., None]), -7, 7
+                  ).astype(jnp.int32)
+    v4 = jnp.clip(jnp.round(vf / v_scale[..., None]), -7, 7
+                  ).astype(jnp.int32)
+    packed = ((k4 & 0x0F) | (v4 << 4)).astype(jnp.int8)
+    return packed, k_scale, v_scale
 
 
-def dequantize_kv_int4(packed: jnp.ndarray, scale: jnp.ndarray,
-                       dtype=jnp.bfloat16) -> jnp.ndarray:
+def dequantize_kv_int4(packed: jnp.ndarray, k_scale: jnp.ndarray,
+                       v_scale: jnp.ndarray, dtype=jnp.bfloat16):
+    """Inverse of `quantize_kv_int4`: kv-fused [..., D] -> (k, v)."""
     p = packed.astype(jnp.int32)
-    lo = (p << 28) >> 28
-    hi = p >> 4
-    q = jnp.concatenate([lo, hi], axis=-1)
-    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+    k4 = (p << 28) >> 28          # sign-extended low nibble
+    v4 = p >> 4                   # arithmetic shift keeps the sign
+    k = (k4.astype(jnp.float32) * k_scale[..., None]).astype(dtype)
+    v = (v4.astype(jnp.float32) * v_scale[..., None]).astype(dtype)
+    return k, v
 
 
 # ── int4 weight-only (fused MLP path) ────────────────────────────────

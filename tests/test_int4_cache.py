@@ -1,7 +1,14 @@
-"""int4 KV cache (nibble-packed head-dim pairs, per-position scales):
+"""int4 KV cache (k|v nibble-fused "kv" array, per-position scales):
 quantization numerics, in-kernel unpack+dequant decode, model-level
 cached decode, engine integration. The next cache halving after int8
-(BENCH_NOTES); beyond-reference serving feature."""
+(BENCH_NOTES); beyond-reference serving feature.
+
+Layout note: k rides the LOW nibbles and v the HIGH nibbles of one
+[.., L, head_dim] int8 array — full 128-lane minor dim. The original
+[.., head_dim/2] head-dim-pair packing was lane-padded back to int8
+size physically and triggered XLA compression-copy churn (measured
+731 ms/step vs 21 at b4 L=4096 on the 7B; see quant.quantize_kv_int4).
+"""
 
 import jax
 import jax.numpy as jnp
@@ -15,33 +22,41 @@ from otter_tpu.ops.quant import dequantize_kv_int4, quantize_kv_int4
 
 
 def test_quantize_kv_int4_roundtrip(rng):
-    x = jnp.asarray(rng.standard_normal((2, 3, 16, 64)), jnp.float32)
-    q, scale = quantize_kv_int4(x)
-    assert q.dtype == jnp.int8 and q.shape == (2, 3, 16, 32)
-    assert scale.shape == (2, 3, 16)
-    back = dequantize_kv_int4(q, scale, jnp.float32)
-    assert back.shape == x.shape
+    k = jnp.asarray(rng.standard_normal((2, 3, 16, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 3, 16, 64)), jnp.float32)
+    kv, ks, vs = quantize_kv_int4(k, v)
+    assert kv.dtype == jnp.int8 and kv.shape == (2, 3, 16, 64)
+    assert ks.shape == (2, 3, 16) and vs.shape == (2, 3, 16)
+    kb, vb = dequantize_kv_int4(kv, ks, vs, jnp.float32)
+    assert kb.shape == k.shape and vb.shape == v.shape
     # max-abs symmetric over [-7, 7]: error <= scale/2 = amax/14
-    err = np.abs(np.asarray(back) - np.asarray(x))
-    bound = np.asarray(scale)[..., None] * 0.5 + 1e-6
-    assert (err <= bound).all()
-    qz, sz = quantize_kv_int4(jnp.zeros((1, 8)))
-    assert np.asarray(qz).max() == 0 and np.isfinite(np.asarray(sz)).all()
+    for back, x, scale in ((kb, k, ks), (vb, v, vs)):
+        err = np.abs(np.asarray(back) - np.asarray(x))
+        bound = np.asarray(scale)[..., None] * 0.5 + 1e-6
+        assert (err <= bound).all()
+    kvz, ksz, vsz = quantize_kv_int4(jnp.zeros((1, 8)), jnp.zeros((1, 8)))
+    assert np.asarray(kvz).max() == 0
+    assert np.isfinite(np.asarray(ksz)).all()
+    assert np.isfinite(np.asarray(vsz)).all()
 
 
-def test_int4_pack_order_matches_half_and_half(rng):
-    """byte j = dims (j, j + D/2): unpack restores the natural order."""
-    x = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32) * 3
-    q, s = quantize_kv_int4(x)
-    back = np.asarray(dequantize_kv_int4(q, s, jnp.float32))[0]
-    direct = np.clip(np.round(np.asarray(x)[0] / np.asarray(s)[0]),
-                     -7, 7) * np.asarray(s)[0]
-    np.testing.assert_allclose(back, direct, atol=1e-6)
+def test_int4_nibble_plane_pack_order(rng):
+    """byte(d) = k4(d) | v4(d) << 4: both planes unpack to exactly their
+    element-wise [-7,7] quantization, including signs."""
+    k = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32) * 3
+    v = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32) * 3
+    kv, ks, vs = quantize_kv_int4(k, v)
+    kb, vb = dequantize_kv_int4(kv, ks, vs, jnp.float32)
+    for back, x, s in ((kb, k, ks), (vb, v, vs)):
+        direct = np.clip(np.round(np.asarray(x)[0] / np.asarray(s)[0]),
+                         -7, 7) * np.asarray(s)[0]
+        np.testing.assert_allclose(np.asarray(back)[0], direct, atol=1e-6)
 
 
 def test_decode_attention_int4_matches_dequant(rng):
     """In-kernel nibble unpack+dequant equals attention over the
-    dequantized cache (same numbers, quarter the HBM bytes)."""
+    dequantized cache (same numbers, quarter the HBM bytes; the fused
+    kv operand is passed as both k and v)."""
     b, h, L, d = 2, 4, 512, 128
     q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
@@ -49,14 +64,12 @@ def test_decode_attention_int4_matches_dequant(rng):
     lengths = jnp.asarray([L // 3, L - 5], jnp.int32)
     bias = jnp.asarray(rng.standard_normal((b, h, L)), jnp.float32) * 0.1
 
-    kq, ks = quantize_kv_int4(k)
-    vq, vs = quantize_kv_int4(v)
-    out = decode_attention(q, kq, vq, lengths, bias,
+    kv, ks, vs = quantize_kv_int4(k, v)
+    out = decode_attention(q, kv, kv, lengths, bias,
                            k_scale=ks, v_scale=vs, kv_bits=4,
                            interpret=True)
-    ref = decode_attention(q, dequantize_kv_int4(kq, ks, jnp.float32),
-                           dequantize_kv_int4(vq, vs, jnp.float32),
-                           lengths, bias, interpret=True)
+    kd, vd = dequantize_kv_int4(kv, ks, vs, jnp.float32)
+    ref = decode_attention(q, kd, vd, lengths, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=2e-3)
 
@@ -67,11 +80,10 @@ def test_decode_attention_int4_stacked_layer_mode(rng):
     k = jnp.asarray(rng.standard_normal((b, nl, h, L, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, nl, h, L, d)), jnp.float32)
     lengths = jnp.asarray([100], jnp.int32)
-    kq, ks = quantize_kv_int4(k)
-    vq, vs = quantize_kv_int4(v)
-    out = decode_attention(q, kq, vq, lengths, k_scale=ks, v_scale=vs,
+    kv, ks, vs = quantize_kv_int4(k, v)
+    out = decode_attention(q, kv, kv, lengths, k_scale=ks, v_scale=vs,
                            kv_bits=4, layer=layer, interpret=True)
-    ref = decode_attention(q, kq[:, layer], vq[:, layer], lengths,
+    ref = decode_attention(q, kv[:, layer], kv[:, layer], lengths,
                            k_scale=ks[:, layer], v_scale=vs[:, layer],
                            kv_bits=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -90,7 +102,8 @@ def test_int4_cached_decode_close_to_full_forward(rng, arch):
     params = m.init(jax.random.PRNGKey(0), ids)
 
     cache = init_cache(cfg, b, max_len, "int4")
-    assert cache["k"].shape[-1] == cfg.head_dim // 2
+    assert set(cache) == {"kv", "k_scale", "v_scale"}
+    assert cache["kv"].shape[-1] == cfg.head_dim
     _, cache = m.apply(params, ids, cache=cache)
 
     ids_ext = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 4)),
