@@ -71,7 +71,12 @@ def main():
         # the megakernel reads ONE fused [Wqkv | Wo] operand per layer
         from otter_tpu.ops.quant import add_fused_wqo
         params = add_fused_wqo(params)
-    eng = OtterGenerator(model, params, cfg)
+    # OTTER_CACHE_BIT=int8|int4 quantizes the KV cache (in-kernel
+    # dequant); bf16 default
+    cache_bit = os.environ.get("OTTER_CACHE_BIT", "bf16")
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": "int8",
+                   "int4": "int4"}[cache_bit]
+    eng = OtterGenerator(model, params, cfg, cache_dtype=cache_dtype)
 
     def window(new):
         gen = GenerationConfig(max_new_tokens=new, do_sample=False,
@@ -105,8 +110,12 @@ def main():
               for x in jax.tree_util.tree_leaves(params["params"][kk]))
     decode_bytes = n_int8 + (n_bf16 - vis) * 2
     cache_len = 256
-    cache_bytes = (cfg.text.num_hidden_layers * 2 * cache_len
-                   * cfg.text.hidden_size * 2)
+    # bytes per element of cache read: bf16=2, int8=1 (+f32 scales/128),
+    # int4=0.5 fused (+scales)
+    cache_elem = {"bf16": 2.0, "int8": 1.0 + 4.0 / 128,
+                  "int4": 0.5 + 4.0 / 128}[cache_bit]
+    cache_bytes = int(cfg.text.num_hidden_layers * 2 * cache_len
+                      * cfg.text.hidden_size * cache_elem)
     sol_step = (decode_bytes + b * cache_bytes) / 819e9
     sol_tps = b / sol_step
 
