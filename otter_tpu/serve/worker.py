@@ -205,8 +205,15 @@ def make_batched_stream_fn(batcher, tokenizer, cfg, *,
     return stream_fn
 
 
-def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
-    """Bridges the HTTP params to the jitted streaming engine."""
+def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2,
+                         sessions=None):
+    """Bridges the HTTP params to the jitted streaming engine.
+
+    `sessions` (a `generation.session.SessionPool`) enables the
+    cross-turn KV prefix cache: a request carrying a `session_id` only
+    prefills the part of the conversation the session cache does not
+    already hold (falls back to the stateless engine on capacity
+    overflow, beams, or masked video frames)."""
     import jax.numpy as jnp
     from otter_tpu.config import GenerationConfig
 
@@ -225,6 +232,28 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2):
         gen = _parse_gen_kwargs(params.get("generation_kwargs", {}))
         enc = tokenizer(prompt, return_tensors="np")
         lang_x = enc["input_ids"].astype(np.int32)
+        sid = params.get("session_id")
+        if sessions is not None and sid and gen.num_beams <= 1 \
+                and frame_mask is None:
+            sess = sessions.get(sid)
+            try:
+                text, pending = "", []
+                for i, tok in enumerate(sess.stream(
+                        jnp.asarray(vision_x), lang_x, gen=gen)):
+                    pending.append(tok)
+                    if (i + 1) % stream_interval == 0:
+                        text += tokenizer.decode(
+                            pending, skip_special_tokens=True)
+                        pending = []
+                        yield text
+                if pending:
+                    text += tokenizer.decode(pending,
+                                             skip_special_tokens=True)
+                yield text
+                return
+            except ValueError:
+                # conversation outgrew the session cache — stateless path
+                sessions.drop(sid)
         if gen.num_beams > 1:
             # beams stream too: best-beam-so-far per chunk (cumulative
             # re-render, may revise earlier tokens)
@@ -594,6 +623,15 @@ def main():
                         " scales, in-kernel dequant): half the cache HBM"
                         " read per decode step at long contexts; int4"
                         " nibble-packs head-dim pairs (quarter the read)")
+    p.add_argument("--session-cache", type=int, default=0, metavar="N",
+                   help="keep up to N per-conversation KV caches between "
+                        "turns (requests carrying a session_id only "
+                        "prefill the new part of the conversation; "
+                        "beyond-reference TTFT win, see docs/serving.md). "
+                        "Each session pins a cache-len KV cache in HBM. "
+                        "0 disables. Incompatible with "
+                        "--continuous-batching (slots already share one "
+                        "cache)")
     args = p.parse_args()
 
     import jax
@@ -657,7 +695,15 @@ def main():
     else:
         engine = OtterGenerator(model, params, cfg,
                                 cache_dtype=cache_dtype)
-        stream_fn = make_otter_stream_fn(engine, tokenizer, cfg)
+        sessions = None
+        if args.session_cache > 0:
+            from otter_tpu.generation.session import SessionPool
+            sessions = SessionPool(model, params, cfg,
+                                   max_sessions=args.session_cache,
+                                   cache_len=args.cache_len,
+                                   cache_dtype=cache_dtype)
+        stream_fn = make_otter_stream_fn(engine, tokenizer, cfg,
+                                         sessions=sessions)
 
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(

@@ -505,3 +505,63 @@ def test_fuyu_worker_stream_postprocesses_coordinates(tmp_path):
     assert chunks[-1]["error_code"] == 0, chunks
     # 10,20,30,40 in half-scale token space -> doubled
     assert "<box>20, 40, 60, 80</box>" in chunks[-1]["text"]
+
+
+def test_session_stream_fn_reuses_cache():
+    """make_otter_stream_fn + SessionPool: a session_id-carrying request
+    streams identical text to the stateless path while turn 2 reuses the
+    turn-1 cache (the cross-turn KV prefix cache, worker --session-cache)."""
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.generation.session import SessionPool
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.serve.worker import make_otter_stream_fn
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = jnp.asarray(np.asarray([[253, 5, 6]], np.int32))
+    params = model.init(jax.random.PRNGKey(0), vx, ids)
+    engine = OtterGenerator(model, params, cfg)
+    pool = SessionPool(model, params, cfg, max_sessions=1, cache_len=128,
+                       prompt_bucket=16, window_bucket=8, min_reuse=4)
+    tok = TinyTokenizer()
+    stream_fn = make_otter_stream_fn(engine, tok, cfg, sessions=pool)
+
+    img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+
+    p1 = "<image>User: alpha beta gamma delta tell me things GPT:<answer>"
+    gk = {"max_new_tokens": 4}
+    sess_t1 = list(stream_fn({"prompt": p1, "images": [b64],
+                              "generation_kwargs": gk,
+                              "session_id": "conv1"}))[-1]
+    free_t1 = list(stream_fn({"prompt": p1, "images": [b64],
+                              "generation_kwargs": gk}))[-1]
+    assert sess_t1 == free_t1
+    sess = pool.get("conv1")
+    assert sess.last_stats["restart"]
+
+    reply = tok.decode(sess.real_tokens[len(tok(p1)["input_ids"]):])
+    p2 = (p1 + " " + reply + "<|endofchunk|>"
+          + "User: and more GPT:<answer>")
+    sess_t2 = list(stream_fn({"prompt": p2, "images": [b64],
+                              "generation_kwargs": gk,
+                              "session_id": "conv1"}))[-1]
+    free_t2 = list(stream_fn({"prompt": p2, "images": [b64],
+                              "generation_kwargs": gk}))[-1]
+    assert sess_t2 == free_t2
+    assert not sess.last_stats["restart"]
+    assert sess.last_stats["reused"] > 0

@@ -72,7 +72,10 @@ def run_precision(cfg_text, np_params, quant, cache="bf16"):
     """Device-run prefill logits + greedy decode for one precision.
     `cache` selects the KV-cache storage (bf16 | int8 | int4) — the cache
     axis of the quality study runs bf16 weights with quantized caches.
-    Returns (prefill_logits [B,P,V] np.float32, decode_tokens [B,NEW])."""
+    Returns (prefill_logits [B,P,V], step0_logits [B,1,V], decode_tokens
+    [B,NEW]). step0 logits are the first CACHE-DEPENDENT quantity:
+    prefill logits never read the cache, so the cache axis compares the
+    first decode step instead."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -112,23 +115,33 @@ def run_precision(cfg_text, np_params, quant, cache="bf16"):
 
     @jax.jit
     def decode(params, tok0, cache):
-        def body(t, carry):
-            tok, cache, toks = carry
+        def step(tok, cache, t):
             # entry P+t is written this step and must be attendable
             kv_valid = jnp.arange(L)[None, :] < P + t + 1
             logits, cache = model.apply(
                 params, tok, cache=cache, cache_pos=P + t, kv_valid=kv_valid)
+            return logits, cache
+
+        def body(t, carry):
+            tok, cache, toks = carry
+            logits, cache = step(tok, cache, t)
             nxt = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
             toks = lax.dynamic_update_slice(toks, tok, (0, t))
             return nxt, cache, toks
+
+        # step 0 unrolled to expose its logits (cache-dependent metric)
+        logits0, cache = step(tok0, cache, 0)
+        nxt0 = jnp.argmax(logits0[:, -1:], -1).astype(jnp.int32)
         toks = jnp.zeros((B, NEW), jnp.int32)
-        _, _, toks = lax.fori_loop(0, NEW, body, (tok0, cache, toks))
-        return toks
+        toks = lax.dynamic_update_slice(toks, tok0, (0, 0))
+        _, _, toks = lax.fori_loop(1, NEW, body, (nxt0, cache, toks))
+        return logits0, toks
 
     tok0 = jnp.asarray(prefill_logits[:, -1].argmax(-1)[:, None], jnp.int32)
-    toks = np.asarray(decode(params, tok0, cache))
+    logits0, toks = decode(params, tok0, cache)
+    logits0, toks = np.asarray(logits0, np.float32), np.asarray(toks)
     del params, cache
-    return prefill_logits, toks
+    return prefill_logits, logits0, toks
 
 
 def compare(name, ref_logits, ref_toks, q_logits, q_toks):
@@ -184,23 +197,25 @@ def main():
     print("|---|---|---|---|---|")
     np_params, _ = build_bf16_params(cfg)
     t0 = time.time()
-    ref_logits, ref_toks = run_precision(cfg, np_params, None)
+    ref_logits, ref_step0, ref_toks = run_precision(cfg, np_params, None)
     print(f"# bf16 reference done ({time.time() - t0:.0f}s)",
           file=sys.stderr)
     mode = sys.argv[1] if len(sys.argv) > 1 else "weights"
     if mode in ("weights", "all"):
         for quant in ("int8", "int4"):
-            q_logits, q_toks = run_precision(cfg, np_params, quant)
+            q_logits, _, q_toks = run_precision(cfg, np_params, quant)
             compare(quant, ref_logits, ref_toks, q_logits, q_toks)
         head_study()
     if mode in ("cache", "all"):
         # cache axis: bf16 weights, quantized KV storage (int8 cache
         # shipped r2 with no quality evidence; int4 cache is new in r3)
+        # the cache axis compares DECODE-STEP-0 logits (prefill logits
+        # never read the cache, so they agree trivially)
         for cb in ("int8", "int4"):
-            q_logits, q_toks = run_precision(cfg, np_params, None,
-                                             cache=cb)
-            compare(f"{cb} KV cache (bf16 weights)", ref_logits, ref_toks,
-                    q_logits, q_toks)
+            _, q_step0, q_toks = run_precision(cfg, np_params, None,
+                                               cache=cb)
+            compare(f"{cb} KV cache (bf16 weights, step-0 logits)",
+                    ref_step0, ref_toks, q_step0, q_toks)
 
 
 if __name__ == "__main__":
