@@ -19,11 +19,22 @@ forward, `pipeline/serve/model_worker.py`); TPU-native by construction:
     `kv_valid` (the decoder masks unattendable cache columns) and are
     overwritten by the next round's window.
 
-Greedy only (do_sample=False): acceptance is exact argmax equality, so
-the output sequence equals the target's own greedy decode (up to and
-including eos). Batch is fixed at 1 — rows would desync on per-row
-accept counts; speculative decoding is a latency tool, and b=1 latency
-is where it pays.
+Two acceptance modes:
+  - greedy (do_sample=False): acceptance is exact argmax equality, so
+    the output sequence equals the target's own greedy decode (up to
+    and including eos);
+  - sampled (do_sample=True): the rejection rule of Leviathan et al.
+    (arXiv 2211.17192) — accept proposal x_i with prob
+    min(1, p_i(x_i)/q_i(x_i)); on the first rejection resample from
+    norm(max(p_i - q_i, 0)); if all gamma accepted, draw the bonus
+    token from p_gamma. The emitted sequence is distributed EXACTLY as
+    target-only ancestral sampling from the processed distribution
+    (temperature/top-k/top-p applied identically to p and q;
+    distribution unit-tested in tests/test_speculative.py).
+
+Batch is fixed at 1 — rows would desync on per-row accept counts;
+speculative decoding is a latency tool, and b=1 latency is where it
+pays.
 
 Invariant at the top of each round (pos = index of the next undecided
 buffer column; buffer[:pos] decided):
@@ -55,8 +66,57 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def processed_probs(logits: jnp.ndarray, gen) -> jnp.ndarray:
+    """logits [..., V] -> the PROCESSED sampling distribution (softmax of
+    temperature/top-k/top-p-filtered logits). Both the draft's proposal
+    distribution q and the target's p go through this identically — the
+    rejection rule then guarantees the output is distributed as ancestral
+    sampling from processed-p."""
+    from otter_tpu.generation import sampling
+    lg = logits.astype(jnp.float32)
+    if gen.temperature not in (0.0, 1.0):
+        lg = lg / gen.temperature
+    lg = sampling.apply_top_k(lg, gen.top_k)
+    lg = sampling.apply_top_p(lg, gen.top_p)
+    return jax.nn.softmax(lg, axis=-1)
+
+
+def accept_resample(p: jnp.ndarray, q: jnp.ndarray, d: jnp.ndarray,
+                    key) -> tuple:
+    """The speculative-sampling accept/resample rule (Leviathan et al.
+    2211.17192, Thm 1), fully vectorized on device.
+
+    p: [g+1, V] target probs at the g proposal positions + the bonus
+    position; q: [g, V] draft proposal probs; d: [g] proposed tokens.
+    Returns (out [g+1], n) — emit out[:n]: proposals d[:m] accepted via
+    u_i < p_i(d_i)/q_i(d_i), then ONE token drawn from
+    norm(max(p_m - q_m, 0)) at the first rejection m (or from p[g] when
+    everything was accepted). Unit-tested distributionally."""
+    g = d.shape[0]
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (g,), jnp.float32)
+    idx = jnp.arange(g)
+    p_at = p[idx, d]
+    q_at = jnp.maximum(q[idx, d], 1e-20)
+    acc = u < p_at / q_at          # u in [0,1): ratio >= 1 always accepts
+    m = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
+    # residual distribution at the correction position
+    p_m = p[m]
+    q_m = jnp.where(m < g, q[jnp.minimum(m, g - 1)], jnp.zeros_like(p_m))
+    resid = jnp.maximum(p_m - q_m, 0.0)
+    rs = jnp.sum(resid)
+    # float-noise guard: if p==q the rejection prob is ~0 but a stray
+    # rejection would leave an empty residual — fall back to p_m
+    resid = jnp.where(rs > 1e-6, resid / jnp.maximum(rs, 1e-20), p_m)
+    x_m = jax.random.categorical(kr, jnp.log(jnp.maximum(resid, 1e-38)))
+    out = jnp.concatenate([d, jnp.zeros((1,), d.dtype)])
+    out = out.at[m].set(x_m.astype(d.dtype))
+    return out, m + 1
+
+
 class SpeculativeGenerator:
-    """Greedy speculative decoding over an (target, draft) OtterVLM pair.
+    """Speculative decoding over an (target, draft) OtterVLM pair —
+    greedy-exact or distributionally-exact sampled (see module doc).
 
     Both models must share the tokenizer/vocab and consume the same
     vision input. `gamma` is the number of draft tokens per round."""
@@ -83,19 +143,132 @@ class SpeculativeGenerator:
         return logits[:, -1], cache, lat
 
     def _window(self, model, cfg, params, toks, cache, cache_pos,
-                cache_len, lat, media, base_valid):
+                cache_len, lat, media, base_valid, off=0):
         """One cached decode window: toks [1, S] at positions
         cache_pos .. cache_pos+S-1. Returns (logits [1, S, V], cache).
-        `base_valid` [1, L] masks left-pad prompt columns."""
+        `base_valid` [1, L] masks left-pad prompt columns; `off` is the
+        left-pad width (real RoPE position = cache column - off; ALiBi
+        is shift-invariant and ignores it)."""
         s = toks.shape[1]
         kv_valid = base_valid & (jnp.arange(cache_len)[None, :]
                                  <= cache_pos + s - 1)
-        positions = (cache_pos + jnp.arange(s))[None, :].astype(jnp.int32)
+        positions = (cache_pos - off
+                     + jnp.arange(s))[None, :].astype(jnp.int32)
         logits, cache, _ = model.apply(
             params, None, toks, vis_latents=lat, cache=cache,
             cache_pos=cache_pos, kv_valid=kv_valid, positions=positions,
             media_counts=media)
         return logits, cache
+
+    def _round_step(self, params_t, params_d, pos, buffer, cache_t,
+                    cache_d, lat_t, lat_d, media, base_valid,
+                    cache_len: int, g: int, eos: int, off=0):
+        """One speculative round (shared by `generate`'s while_loop and
+        `stream`'s per-round dispatch): draft g tokens, verify in one
+        s=g+1 target window, accept the agreeing prefix + the target's
+        correction. Returns (n, out, buffer', cache_t', cache_d') where
+        out[:n] are this round's emitted tokens (eos included if hit;
+        the caller clamps against its own max_new budget)."""
+
+        tw = jax.lax.dynamic_slice(buffer, (0, pos - 2), (1, 2))
+
+        # draft: s=2 opener (closes the fully-accepted gap), then g-1
+        # single steps
+        logits, cache_d = self._window(
+            self.model_d, self.cfg_d, params_d, tw, cache_d,
+            pos - 2, cache_len, lat_d, media, base_valid, off)
+        d1 = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+
+        def draft_step(carry, i):
+            tok, cache_d = carry
+            lg, cache_d = self._window(
+                self.model_d, self.cfg_d, params_d, tok[None, None],
+                cache_d, pos + i, cache_len, lat_d, media, base_valid,
+                off)
+            nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+            return (nxt, cache_d), tok
+
+        (d_last, cache_d), d_prev = jax.lax.scan(
+            draft_step, (d1, cache_d), jnp.arange(g - 1))
+        # draft proposals d[0..g-1] for positions pos..pos+g-1
+        d = jnp.concatenate([d_prev, d_last[None]]) if g > 1 \
+            else d_last[None]
+
+        # verify: [tok_last, d0..d_{g-1}] in one s=g+1 window
+        window = jnp.concatenate([tw[0, 1:], d])[None, :]
+        lg_t, cache_t = self._window(
+            self.model_t, self.cfg_t, params_t, window, cache_t,
+            pos - 1, cache_len, lat_t, media, base_valid, off)
+        t = jnp.argmax(lg_t[0], axis=-1).astype(jnp.int32)  # [g+1]
+
+        # m leading draft tokens confirmed by the target
+        match = (t[:g] == d)
+        m = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+        idx = jnp.arange(g + 1)
+        out = jnp.where(idx < m, jnp.concatenate([d, d[-1:]]), t)
+        # emit out[0..m]; truncate at eos
+        is_eos = (out == eos) & (idx <= m)
+        eos_at = jnp.min(jnp.where(is_eos, idx, g + 1))
+        n = jnp.minimum(m + 1, eos_at + 1)
+        keep = idx < n
+        cur = jax.lax.dynamic_slice(buffer, (0, pos), (1, g + 1))
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, jnp.where(keep, out, cur[0])[None, :], (0, pos))
+        return n, out, buffer, cache_t, cache_d
+
+    def _round_step_sample(self, params_t, params_d, pos, buffer, cache_t,
+                           cache_d, lat_t, lat_d, media, base_valid,
+                           cache_len: int, g: int, eos: int,
+                           gen: GenerationConfig, key, off=0):
+        """Sampled variant of `_round_step`: proposals drawn from the
+        draft's processed distribution, accepted by the Leviathan
+        rejection rule against the target's processed distribution
+        (`accept_resample`). Same return contract."""
+        tw = jax.lax.dynamic_slice(buffer, (0, pos - 2), (1, 2))
+        logits, cache_d = self._window(
+            self.model_d, self.cfg_d, params_d, tw, cache_d,
+            pos - 2, cache_len, lat_d, media, base_valid, off)
+        q0 = processed_probs(logits[0, -1], gen)
+        d0 = jax.random.categorical(
+            jax.random.fold_in(key, 0),
+            jnp.log(jnp.maximum(q0, 1e-38))).astype(jnp.int32)
+
+        def draft_step(carry, i):
+            tok, cache_d = carry
+            lg, cache_d = self._window(
+                self.model_d, self.cfg_d, params_d, tok[None, None],
+                cache_d, pos + i, cache_len, lat_d, media, base_valid,
+                off)
+            qi = processed_probs(lg[0, -1], gen)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(key, i + 1),
+                jnp.log(jnp.maximum(qi, 1e-38))).astype(jnp.int32)
+            return (nxt, cache_d), (nxt, qi)
+
+        if g > 1:
+            (d_last, cache_d), (d_rest, q_rest) = jax.lax.scan(
+                draft_step, (d0, cache_d), jnp.arange(g - 1))
+            d = jnp.concatenate([d0[None], d_rest])
+            q = jnp.concatenate([q0[None], q_rest])
+        else:
+            d, q = d0[None], q0[None]
+
+        window = jnp.concatenate([tw[0, 1:], d])[None, :]
+        lg_t, cache_t = self._window(
+            self.model_t, self.cfg_t, params_t, window, cache_t,
+            pos - 1, cache_len, lat_t, media, base_valid, off)
+        p = processed_probs(lg_t[0], gen)                   # [g+1, V]
+
+        out, n = accept_resample(p, q, d, jax.random.fold_in(key, 999))
+        idx = jnp.arange(g + 1)
+        is_eos = (out == eos) & (idx < n)
+        eos_at = jnp.min(jnp.where(is_eos, idx, g + 1))
+        n = jnp.minimum(n, eos_at + 1)
+        keep = idx < n
+        cur = jax.lax.dynamic_slice(buffer, (0, pos), (1, g + 1))
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, jnp.where(keep, out, cur[0])[None, :], (0, pos))
+        return n, out, buffer, cache_t, cache_d
 
     def _build(self, p: int, cache_len: int, gen: GenerationConfig):
         g = self.gamma
@@ -104,7 +277,7 @@ class SpeculativeGenerator:
             else self.cfg_t.eoc_token_id
         pad = gen.pad_token_id
 
-        def run(params_t, params_d, vision_x, lang_x, mask):
+        def run(params_t, params_d, vision_x, lang_x, mask, rng):
             cache_t = init_cache(self.cfg_t.text, 1, cache_len,
                                  self.cache_dtype)
             cache_d = init_cache(self.cfg_d.text, 1, cache_len,
@@ -120,11 +293,18 @@ class SpeculativeGenerator:
             base_valid = jnp.concatenate(
                 [mask.astype(bool),
                  jnp.ones((1, cache_len - p), bool)], axis=-1)
+            off = jnp.int32(p) - jnp.sum(mask.astype(jnp.int32))
 
             buffer = jnp.concatenate(
                 [lang_x, jnp.full((1, cache_len - p), pad, lang_x.dtype)],
                 axis=-1)
-            tok0 = jnp.argmax(last_t[0]).astype(jnp.int32)
+            if gen.do_sample:
+                p0 = processed_probs(last_t[0], gen)
+                tok0 = jax.random.categorical(
+                    jax.random.fold_in(rng, p),
+                    jnp.log(jnp.maximum(p0, 1e-38))).astype(jnp.int32)
+            else:
+                tok0 = jnp.argmax(last_t[0]).astype(jnp.int32)
             buffer = buffer.at[0, p].set(tok0)
             pos0 = jnp.int32(p + 1)
             done0 = tok0 == eos
@@ -135,52 +315,24 @@ class SpeculativeGenerator:
 
             def body(st):
                 emitted, done, pos, buffer, cache_t, cache_d = st
-                tw = jax.lax.dynamic_slice(buffer, (0, pos - 2), (1, 2))
-
-                # draft: s=2 opener (closes the fully-accepted gap),
-                # then g-1 single steps
-                logits, cache_d = self._window(
-                    self.model_d, self.cfg_d, params_d, tw, cache_d,
-                    pos - 2, cache_len, lat_d, media, base_valid)
-                d1 = jnp.argmax(logits[0, -1]).astype(jnp.int32)
-
-                def draft_step(carry, i):
-                    tok, cache_d = carry
-                    lg, cache_d = self._window(
-                        self.model_d, self.cfg_d, params_d, tok[None, None],
-                        cache_d, pos + i, cache_len, lat_d, media,
-                        base_valid)
-                    nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
-                    return (nxt, cache_d), tok
-
-                (d_last, cache_d), d_prev = jax.lax.scan(
-                    draft_step, (d1, cache_d), jnp.arange(g - 1))
-                # draft proposals d[0..g-1] for positions pos..pos+g-1
-                d = jnp.concatenate([d_prev, d_last[None]]) if g > 1 \
-                    else d_last[None]
-
-                # verify: [tok_last, d0..d_{g-1}] in one s=g+1 window
-                window = jnp.concatenate([tw[0, 1:], d])[None, :]
-                lg_t, cache_t = self._window(
-                    self.model_t, self.cfg_t, params_t, window, cache_t,
-                    pos - 1, cache_len, lat_t, media, base_valid)
-                t = jnp.argmax(lg_t[0], axis=-1).astype(jnp.int32)  # [g+1]
-
-                # m leading draft tokens confirmed by the target
-                match = (t[:g] == d)
-                m = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+                if gen.do_sample:
+                    n, out, buffer, cache_t, cache_d = \
+                        self._round_step_sample(
+                            params_t, params_d, pos, buffer, cache_t,
+                            cache_d, lat_t, lat_d, media, base_valid,
+                            cache_len, g, eos, gen,
+                            jax.random.fold_in(rng, pos), off)
+                else:
+                    n, out, buffer, cache_t, cache_d = self._round_step(
+                        params_t, params_d, pos, buffer, cache_t, cache_d,
+                        lat_t, lat_d, media, base_valid, cache_len, g, eos,
+                        off)
+                # clamp this round's emission to the max_new budget
+                # (the round may have written candidates past the clamp
+                # into the buffer — the final pad mask erases them)
                 idx = jnp.arange(g + 1)
-                out = jnp.where(idx < m, jnp.concatenate([d, d[-1:]]), t)
-                # emit out[0..m]; truncate at eos and at max_new
-                is_eos = (out == eos) & (idx <= m)
-                eos_at = jnp.min(jnp.where(is_eos, idx, g + 1))
-                n = jnp.minimum(jnp.minimum(m + 1, eos_at + 1),
-                                max_new - emitted)
-                done = done | jnp.any(is_eos & (idx < n))
-                keep = idx < n
-                cur = jax.lax.dynamic_slice(buffer, (0, pos), (1, g + 1))
-                buffer = jax.lax.dynamic_update_slice(
-                    buffer, jnp.where(keep, out, cur[0])[None, :], (0, pos))
+                n = jnp.minimum(n, max_new - emitted)
+                done = done | jnp.any((out == eos) & (idx < n))
                 return (emitted + n, done, pos + n, buffer, cache_t,
                         cache_d)
 
@@ -194,16 +346,81 @@ class SpeculativeGenerator:
 
         return jax.jit(run, donate_argnums=())
 
+    def _build_stream(self, p: int, cache_len: int, eos: int, pad: int,
+                      gen: GenerationConfig):
+        g = self.gamma
+
+        def prefill(params_t, params_d, vision_x, lang_x, mask, rng):
+            cache_t = init_cache(self.cfg_t.text, 1, cache_len,
+                                 self.cache_dtype)
+            cache_d = init_cache(self.cfg_d.text, 1, cache_len,
+                                 self.cache_dtype)
+            last_t, cache_t, lat_t = self._prefill(
+                self.model_t, self.cfg_t, params_t, vision_x, lang_x,
+                mask, cache_t)
+            _, cache_d, lat_d = self._prefill(
+                self.model_d, self.cfg_d, params_d, vision_x, lang_x,
+                mask, cache_d)
+            media = jnp.sum((lang_x == self.cfg_t.media_token_id)
+                            .astype(jnp.int32), axis=-1)
+            base_valid = jnp.concatenate(
+                [mask.astype(bool),
+                 jnp.ones((1, cache_len - p), bool)], axis=-1)
+            off = jnp.int32(p) - jnp.sum(mask.astype(jnp.int32))
+            buffer = jnp.concatenate(
+                [lang_x, jnp.full((1, cache_len - p), pad, lang_x.dtype)],
+                axis=-1)
+            if gen.do_sample:
+                p0 = processed_probs(last_t[0], gen)
+                tok0 = jax.random.categorical(
+                    jax.random.fold_in(rng, p),
+                    jnp.log(jnp.maximum(p0, 1e-38))).astype(jnp.int32)
+            else:
+                tok0 = jnp.argmax(last_t[0]).astype(jnp.int32)
+            buffer = buffer.at[0, p].set(tok0)
+            return tok0, buffer, cache_t, cache_d, lat_t, lat_d, media, \
+                base_valid, off
+
+        return (jax.jit(prefill), self._get_round_fn(cache_len, eos, gen))
+
+    def _get_round_fn(self, cache_len: int, eos: int,
+                      gen: GenerationConfig):
+        """The jitted one-round dispatch (shared by `stream` and the
+        cross-turn `SpecChatSession`): keyed only on what the round
+        graph actually depends on, so one compile serves every prompt
+        length at a given cache_len."""
+        key = ("round", cache_len, eos, gen.do_sample, gen.temperature,
+               gen.top_k, gen.top_p)
+        if key not in self._fns:
+            g = self.gamma
+
+            def round_fn(params_t, params_d, pos, buffer, cache_t,
+                         cache_d, lat_t, lat_d, media, base_valid, off,
+                         rng):
+                if gen.do_sample:
+                    return self._round_step_sample(
+                        params_t, params_d, pos, buffer, cache_t, cache_d,
+                        lat_t, lat_d, media, base_valid, cache_len, g,
+                        eos, gen, jax.random.fold_in(rng, pos), off)
+                return self._round_step(
+                    params_t, params_d, pos, buffer, cache_t, cache_d,
+                    lat_t, lat_d, media, base_valid, cache_len, g, eos,
+                    off)
+
+            self._fns[key] = jax.jit(round_fn, donate_argnums=(3, 4, 5))
+        return self._fns[key]
+
     # ── public API ───────────────────────────────────────────────────
 
     def generate(self, vision_x, lang_x, attention_mask=None,
-                 gen: Optional[GenerationConfig] = None) -> np.ndarray:
+                 gen: Optional[GenerationConfig] = None,
+                 rng: Optional[jax.Array] = None) -> np.ndarray:
         """vision_x [1,T,F,C,H,W]; lang_x [1,P] left-padded. Returns
-        [1, P + max_new_tokens] — identical to the TARGET's greedy
-        `OtterGenerator.generate` output."""
+        [1, P + max_new_tokens] — greedy output is identical to the
+        TARGET's greedy `OtterGenerator.generate`; sampled output is
+        distributed exactly as target-only ancestral sampling."""
         gen = gen or GenerationConfig()
-        assert not gen.do_sample and gen.num_beams <= 1, \
-            "speculative decoding is greedy-only"
+        assert gen.num_beams <= 1, "speculative decoding has no beams"
         lang_x = jnp.asarray(lang_x)
         b, p = lang_x.shape
         assert b == 1, "speculative decoding is a b=1 latency tool"
@@ -213,7 +430,63 @@ class SpeculativeGenerator:
         key = (p, cache_len, gen)
         if key not in self._fns:
             self._fns[key] = self._build(p, cache_len, gen)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         out, _ = self._fns[key](self.params_t, self.params_d,
                                 jnp.asarray(vision_x), lang_x,
-                                jnp.asarray(attention_mask))
+                                jnp.asarray(attention_mask), rng)
         return np.asarray(out)
+
+    def stream(self, vision_x, lang_x, attention_mask=None,
+               gen: Optional[GenerationConfig] = None,
+               rng: Optional[jax.Array] = None):
+        """Round-driven streaming: yields token ids with ONE host sync
+        per speculative round instead of one per token — through a
+        relayed chip the fixed dispatch/readback roundtrip dominates b=1
+        decode, so each round amortizes it over up to gamma+1 tokens.
+        Greedy requests yield EXACTLY the target engine's
+        `stream_generate` ids; sampled requests draw from exactly the
+        target's processed distribution (accept_resample). The serving
+        worker uses this path under --draft-checkpoint."""
+        gen = gen or GenerationConfig()
+        assert gen.num_beams <= 1, "speculative decoding has no beams"
+        eos = gen.eos_token_id if gen.eos_token_id is not None \
+            else self.cfg_t.eoc_token_id
+        lang_x = jnp.asarray(lang_x)
+        b, p = lang_x.shape
+        assert b == 1, "speculative decoding is a b=1 latency tool"
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, p), jnp.int32)
+        cache_len = _round_up(p + gen.max_new_tokens + self.gamma + 2,
+                              128)
+        key = ("stream", p, cache_len, eos, gen.pad_token_id,
+               gen.do_sample, gen.temperature, gen.top_k, gen.top_p)
+        if key not in self._fns:
+            self._fns[key] = self._build_stream(p, cache_len, eos,
+                                                gen.pad_token_id, gen)
+        prefill_fn, round_fn = self._fns[key]
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        (tok0, buffer, cache_t, cache_d, lat_t, lat_d, media,
+         base_valid, off) = prefill_fn(self.params_t, self.params_d,
+                                       jnp.asarray(vision_x), lang_x,
+                                       jnp.asarray(attention_mask), rng)
+        tok0_i = int(tok0)
+        if tok0_i == eos:
+            return
+        yield tok0_i
+        emitted, pos = 1, p + 1
+        while emitted < gen.max_new_tokens:
+            n, out, buffer, cache_t, cache_d = round_fn(
+                self.params_t, self.params_d, jnp.int32(pos), buffer,
+                cache_t, cache_d, lat_t, lat_d, media, base_valid, off,
+                rng)
+            take = min(int(n), gen.max_new_tokens - emitted)
+            out_np = np.asarray(out)
+            for tok in out_np[:take]:
+                if int(tok) == eos:
+                    return
+                yield int(tok)
+                emitted += 1
+            pos += take

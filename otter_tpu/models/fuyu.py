@@ -28,6 +28,7 @@ from otter_tpu.models.decoder import Decoder, init_cache
 class FuyuVLM(nn.Module):
     cfg: FuyuConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False   # per-layer gradient checkpointing (training)
 
     @nn.compact
     def __call__(self, input_ids, *, image_patches=None,
@@ -47,6 +48,7 @@ class FuyuVLM(nn.Module):
                 patch_emb, idx[..., None], axis=1)          # [B, S, H]
             merge = (gathered, image_patches_indices >= 0)
         logits, new_cache = Decoder(c.text, dtype=self.dtype,
+                                    remat=self.remat,
                                     name="language_model")(
             input_ids, merge_embeds=merge, attention_mask=attention_mask,
             positions=positions, cache=cache, cache_pos=cache_pos,

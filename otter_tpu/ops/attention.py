@@ -17,6 +17,15 @@ from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
 
 
 def _default_impl() -> str:
+    # OTTER_ATTN_IMPL=ref forces the naive XLA einsum-softmax-einsum path
+    # on TPU too — the A/B lever for quantifying what the Pallas kernel
+    # buys (the reference's OtterHD headline is exactly this comparison:
+    # flash-attn-2 + fused ops vs the vanilla HF implementation,
+    # docs/OtterHD.md:33-39; tools/bench_train_otterhd.py)
+    import os
+    forced = os.environ.get("OTTER_ATTN_IMPL")
+    if forced:
+        return forced
     return "pallas" if jax.default_backend() == "tpu" else "ref"
 
 

@@ -79,6 +79,10 @@ button{cursor:pointer;border:1px solid #bbb;background:#fafafa;
 let messages = [];   // [[user, assistant|null], ...]
 let images = [];     // urlsafe-b64, fixed at first turn
 let busy = false;
+// per-conversation id: workers started with --session-cache reuse the
+// turn's KV prefix instead of re-prefilling the whole history
+let sessionId = crypto.randomUUID ? crypto.randomUUID()
+                                  : String(Math.random()).slice(2);
 
 async function refreshModels(){
   const r = await fetch('/list_models');
@@ -136,6 +140,8 @@ async function regenerate(){
 function clearHistory(){
   if (busy) return;
   messages = []; images = [];
+  sessionId = crypto.randomUUID ? crypto.randomUUID()
+                                : String(Math.random()).slice(2);
   document.getElementById('img').value = '';
   render();
 }
@@ -146,6 +152,7 @@ async function run(){
   const body = {model: document.getElementById('model').value || 'otter',
                 template: document.getElementById('tpl').value,
                 messages: messages, images: images,
+                session_id: sessionId,
                 generation_kwargs: genKwargs()};
   const resp = await fetch('/http_bot', {method:'POST',
     headers:{'Content-Type':'application/json'},

@@ -206,18 +206,41 @@ def make_batched_stream_fn(batcher, tokenizer, cfg, *,
 
 
 def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2,
-                         sessions=None):
+                         sessions=None, spec=None, spec_sessions=None):
     """Bridges the HTTP params to the jitted streaming engine.
 
     `sessions` (a `generation.session.SessionPool`) enables the
     cross-turn KV prefix cache: a request carrying a `session_id` only
     prefills the part of the conversation the session cache does not
     already hold (falls back to the stateless engine on capacity
-    overflow, beams, or masked video frames)."""
+    overflow, beams, or masked video frames).
+
+    `spec` (a `generation.speculative.SpeculativeGenerator`) routes
+    greedy/sampled single-stream requests through draft-based
+    speculative decoding (`--draft-checkpoint`); beamed or
+    ngram-constrained requests fall back to the vanilla engine.
+
+    `spec_sessions` (a SessionPool of `SpecChatSession`) composes the
+    two: session-cache TTFT plus speculative per-token throughput for
+    `session_id` requests. The worker builds it when BOTH
+    --session-cache and --draft-checkpoint are set."""
     import jax.numpy as jnp
     from otter_tpu.config import GenerationConfig
 
     patch_size = cfg.vision.image_size
+
+    def relay(token_iter) -> Iterator[str]:
+        """tokens -> cumulative text chunks every `stream_interval`."""
+        text, pending = "", []
+        for i, tok in enumerate(token_iter):
+            pending.append(tok)
+            if (i + 1) % stream_interval == 0:
+                text += tokenizer.decode(pending, skip_special_tokens=True)
+                pending = []
+                yield text
+        if pending:
+            text += tokenizer.decode(pending, skip_special_tokens=True)
+        yield text
 
     def stream_fn(params: dict) -> Iterator[str]:
         prompt = params["prompt"]
@@ -233,27 +256,30 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2,
         enc = tokenizer(prompt, return_tensors="np")
         lang_x = enc["input_ids"].astype(np.int32)
         sid = params.get("session_id")
+        spec_ok = (gen.num_beams <= 1 and not gen.no_repeat_ngram_size
+                   and not gen.bad_words_ids and frame_mask is None)
+        if spec_sessions is not None and sid and spec_ok:
+            sess = spec_sessions.get(sid)
+            try:
+                yield from relay(sess.stream(
+                    jnp.asarray(vision_x), lang_x, gen=gen))
+                return
+            except ValueError:
+                # conversation outgrew the session cache — stateless path
+                spec_sessions.drop(sid)
         if sessions is not None and sid and gen.num_beams <= 1 \
                 and frame_mask is None:
             sess = sessions.get(sid)
             try:
-                text, pending = "", []
-                for i, tok in enumerate(sess.stream(
-                        jnp.asarray(vision_x), lang_x, gen=gen)):
-                    pending.append(tok)
-                    if (i + 1) % stream_interval == 0:
-                        text += tokenizer.decode(
-                            pending, skip_special_tokens=True)
-                        pending = []
-                        yield text
-                if pending:
-                    text += tokenizer.decode(pending,
-                                             skip_special_tokens=True)
-                yield text
+                yield from relay(sess.stream(
+                    jnp.asarray(vision_x), lang_x, gen=gen))
                 return
             except ValueError:
-                # conversation outgrew the session cache — stateless path
                 sessions.drop(sid)
+        if spec is not None and spec_ok:
+            yield from relay(spec.stream(
+                jnp.asarray(vision_x), lang_x, gen=gen))
+            return
         if gen.num_beams > 1:
             # beams stream too: best-beam-so-far per chunk (cumulative
             # re-render, may revise earlier tokens)
@@ -262,18 +288,8 @@ def make_otter_stream_fn(engine, tokenizer, cfg, *, stream_interval: int = 2,
                 yield tokenizer.decode(toks, skip_special_tokens=True)
             return
         vm = None if frame_mask is None else jnp.asarray(frame_mask)
-        text, pending = "", []
-        for i, tok in enumerate(engine.stream_generate(
-                jnp.asarray(vision_x), lang_x, gen=gen, vision_mask=vm)):
-            pending.append(tok)
-            if (i + 1) % stream_interval == 0:
-                text += tokenizer.decode(pending,
-                                         skip_special_tokens=True)
-                pending = []
-                yield text
-        if pending:
-            text += tokenizer.decode(pending, skip_special_tokens=True)
-        yield text
+        yield from relay(engine.stream_generate(
+            jnp.asarray(vision_x), lang_x, gen=gen, vision_mask=vm))
 
     return stream_fn
 
@@ -632,6 +648,18 @@ def main():
                         "0 disables. Incompatible with "
                         "--continuous-batching (slots already share one "
                         "cache)")
+    p.add_argument("--draft-checkpoint", default=None,
+                   help="checkpoint of a small same-vocabulary draft "
+                        "model: greedy/sampled single-stream requests "
+                        "decode speculatively (gamma draft tokens per "
+                        "target verify window; greedy output is exact, "
+                        "sampled is distributionally exact; "
+                        "docs/serving.md). With --session-cache the two "
+                        "compose per session_id. Flagship pairing: "
+                        "mpt7b target + mpt1b draft")
+    p.add_argument("--draft-config", default="mpt1b",
+                   choices=sorted(PRESETS))
+    p.add_argument("--draft-gamma", type=int, default=4)
     args = p.parse_args()
 
     import jax
@@ -702,8 +730,51 @@ def main():
                                    max_sessions=args.session_cache,
                                    cache_len=args.cache_len,
                                    cache_dtype=cache_dtype)
+        spec = None
+        if args.draft_checkpoint:
+            from otter_tpu.generation.speculative import \
+                SpeculativeGenerator
+            cfg_d = cfgmod.PRESETS[args.draft_config]()
+            cfg_d = cfg_d.replace(
+                text=cfg_d.text.replace(decode_kernel="auto"))
+            if quantize:
+                cfg_d = cfg_d.replace(
+                    text=cfg_d.text.replace(quant=args.load_bit))
+            model_d = OtterVLM(cfg_d, dtype=dtype)
+            load_cfg_d = cfg_d.replace(
+                text=cfg_d.text.replace(quant=None)) if quantize else cfg_d
+            load_model_d = OtterVLM(load_cfg_d, dtype=dtype)
+            shapes_d = jax.eval_shape(
+                load_model_d.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, 1, 1, 3, cfg_d.vision.image_size,
+                           cfg_d.vision.image_size), dtype),
+                jnp.zeros((1, 8), jnp.int32))
+            params_d = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(
+                    s.shape, dtype if jnp.issubdtype(s.dtype, jnp.floating)
+                    else s.dtype), shapes_d)
+            params_d = load_otter_checkpoint(
+                args.draft_checkpoint, load_cfg_d, params_d, dtype=dtype)
+            if quantize:
+                params_d = {"params": qfn(params_d["params"])}
+            spec = SpeculativeGenerator(
+                model, params, cfg, model_d, params_d, cfg_d,
+                gamma=args.draft_gamma, cache_dtype=cache_dtype)
+        spec_sessions = None
+        if spec is not None and args.session_cache > 0:
+            # compose: session_id requests get cross-turn prefix reuse
+            # AND speculative rounds; the plain pool stays for requests
+            # spec can't take (ngram bans etc. restart statelessly, so
+            # no second cache is pinned unless actually used)
+            from otter_tpu.generation.session import (SessionPool,
+                                                      SpecChatSession)
+            spec_sessions = SessionPool(
+                model, params, cfg, max_sessions=args.session_cache,
+                factory=lambda: SpecChatSession(
+                    spec, cache_len=args.cache_len))
         stream_fn = make_otter_stream_fn(engine, tokenizer, cfg,
-                                         sessions=sessions)
+                                         sessions=sessions, spec=spec,
+                                         spec_sessions=spec_sessions)
 
     addr = args.worker_address or f"http://localhost:{args.port}"
     worker = ModelWorker(

@@ -565,3 +565,134 @@ def test_session_stream_fn_reuses_cache():
     assert sess_t2 == free_t2
     assert not sess.last_stats["restart"]
     assert sess.last_stats["reused"] > 0
+
+
+def test_spec_stream_fn_matches_engine():
+    """make_otter_stream_fn + SpeculativeGenerator: greedy requests
+    stream identical text through the speculative path (worker
+    --draft-checkpoint); sampled requests fall back to the engine."""
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.generation.speculative import SpeculativeGenerator
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.serve.worker import make_otter_stream_fn
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = jnp.asarray(np.asarray([[253, 5, 6]], np.int32))
+    params = model.init(jax.random.PRNGKey(0), vx, ids)
+    params_d = model.init(jax.random.PRNGKey(3), vx, ids)
+    engine = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    spec = SpeculativeGenerator(model, params, cfg, model, params_d, cfg,
+                                gamma=2, cache_dtype=jnp.float32)
+    tok = TinyTokenizer()
+    plain_fn = make_otter_stream_fn(engine, tok, cfg)
+    spec_fn = make_otter_stream_fn(engine, tok, cfg, spec=spec)
+
+    img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+    req = {"prompt": "<image>User: one two three GPT:<answer>",
+           "images": [b64], "generation_kwargs": {"max_new_tokens": 5}}
+    assert list(spec_fn(req))[-1] == list(plain_fn(req))[-1]
+    # sampled requests run speculatively too; at T~0 the processed
+    # distribution is a near-delta, so both paths emit the greedy text
+    req_s = dict(req, generation_kwargs={"max_new_tokens": 5,
+                                         "do_sample": True,
+                                         "temperature": 0.01})
+    assert list(spec_fn(req_s))[-1] == list(plain_fn(req))[-1]
+    # ngram-constrained requests fall back to the engine (identical
+    # seeded path)
+    req_n = dict(req, generation_kwargs={"max_new_tokens": 5,
+                                         "no_repeat_ngram_size": 2})
+    assert list(spec_fn(req_n))[-1] == list(plain_fn(req_n))[-1]
+
+
+def test_spec_session_stream_fn_composes():
+    """make_otter_stream_fn + spec_sessions: a session_id request goes
+    through the SpecChatSession composition — identical text to the
+    stateless path, turn 2 reuses the cache (worker --session-cache
+    together with --draft-checkpoint)."""
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.generation.session import SessionPool, SpecChatSession
+    from otter_tpu.generation.speculative import SpeculativeGenerator
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.serve.worker import make_otter_stream_fn
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = jnp.asarray(np.asarray([[253, 5, 6]], np.int32))
+    params = model.init(jax.random.PRNGKey(0), vx, ids)
+    params_d = model.init(jax.random.PRNGKey(3), vx, ids)
+    engine = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    spec = SpeculativeGenerator(model, params, cfg, model, params_d, cfg,
+                                gamma=2, cache_dtype=jnp.float32)
+    pool = SessionPool(model, params, cfg, max_sessions=1,
+                       factory=lambda: SpecChatSession(
+                           spec, cache_len=128, prompt_bucket=16,
+                           window_bucket=8, min_reuse=4))
+    tok = TinyTokenizer()
+    stream_fn = make_otter_stream_fn(engine, tok, cfg,
+                                     spec=spec, spec_sessions=pool)
+
+    img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+
+    p1 = "<image>User: alpha beta gamma delta tell me things GPT:<answer>"
+    gk = {"max_new_tokens": 4}
+    sess_t1 = list(stream_fn({"prompt": p1, "images": [b64],
+                              "generation_kwargs": gk,
+                              "session_id": "conv1"}))[-1]
+    free_t1 = list(stream_fn({"prompt": p1, "images": [b64],
+                              "generation_kwargs": gk}))[-1]
+    assert sess_t1 == free_t1
+    sess = pool.get("conv1")
+    assert sess.last_stats["restart"]
+
+    reply = tok.decode(sess.real_tokens[len(tok(p1)["input_ids"]):])
+    p2 = (p1 + " " + reply + "<|endofchunk|>"
+          + "User: and more GPT:<answer>")
+    sess_t2 = list(stream_fn({"prompt": p2, "images": [b64],
+                              "generation_kwargs": gk,
+                              "session_id": "conv1"}))[-1]
+    free_t2 = list(stream_fn({"prompt": p2, "images": [b64],
+                              "generation_kwargs": gk}))[-1]
+    assert sess_t2 == free_t2
+    assert not sess.last_stats["restart"]
+    assert sess.last_stats["reused"] > 0
+    # an ngram-constrained request with the same session_id falls back
+    # to the stateless engine (spec rounds can't apply sequence bans)
+    req_n = {"prompt": p1, "images": [b64], "session_id": "conv1",
+             "generation_kwargs": {"max_new_tokens": 4,
+                                   "no_repeat_ngram_size": 2}}
+    free_n = list(stream_fn({"prompt": p1, "images": [b64],
+                             "generation_kwargs":
+                                 {"max_new_tokens": 4,
+                                  "no_repeat_ngram_size": 2}}))[-1]
+    assert list(stream_fn(req_n))[-1] == free_n

@@ -119,3 +119,126 @@ def test_session_pool_lru(rng):
     pool.get("c")                      # evicts b (LRU)
     assert pool.get("a") is a          # a survived the eviction
     assert pool.get("b") is not b      # b was rebuilt from scratch
+
+
+# ── speculative + session composition (SpecChatSession) ──────────────
+
+def _spec_pair(rng):
+    from otter_tpu.generation.speculative import SpeculativeGenerator
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                     jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (1, 9)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    params_t = model.init(jax.random.PRNGKey(0), vx, jnp.asarray(ids))
+    params_d = model.init(jax.random.PRNGKey(7), vx, jnp.asarray(ids))
+    spec = SpeculativeGenerator(model, params_t, cfg, model, params_d,
+                                cfg, gamma=3, cache_dtype=jnp.float32)
+    return cfg, model, params_t, vx, ids, spec
+
+
+def _spec_session(spec):
+    from otter_tpu.generation.session import SpecChatSession
+    return SpecChatSession(spec, cache_len=128, prompt_bucket=16,
+                           window_bucket=8, min_reuse=4)
+
+
+def test_spec_session_multi_turn_matches_stateless(rng):
+    """3 chat turns through the speculative+session composition:
+    bit-identical to the stateless target engine on the full prompt,
+    with turns 2-3 reusing the cached prefix (adversarial draft)."""
+    cfg, model, params_t, vx, ids, spec = _spec_pair(rng)
+    engine = OtterGenerator(model, params_t, cfg,
+                            cache_dtype=jnp.float32)
+    sess = _spec_session(spec)
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-5)
+
+    prompt, expect_reuse = ids, 0
+    for turn in range(3):
+        ref = _stateless(engine, vx, prompt, gen)
+        got = list(sess.stream(vx, jnp.asarray(prompt), gen=gen))
+        assert got == ref, f"turn {turn}: {got} != {ref}"
+        if turn == 0:
+            assert sess.last_stats["restart"]
+        else:
+            assert not sess.last_stats["restart"]
+            # the newest emitted token is conservatively re-ingested
+            # (spec rounds never ingest the latest token), so reuse may
+            # trail the full prefix by exactly one
+            assert sess.last_stats["reused"] >= expect_reuse - 1
+        expect_reuse = prompt.shape[1] + len(got)
+        extra = np.asarray(rng.integers(5, 200, (1, 5)), np.int32)
+        prompt = np.concatenate(
+            [prompt, np.asarray([got], np.int32),
+             np.asarray([[cfg.eoc_token_id]], np.int32), extra], axis=1)
+
+
+def test_spec_session_divergent_history(rng):
+    cfg, model, params_t, vx, ids, spec = _spec_pair(rng)
+    engine = OtterGenerator(model, params_t, cfg,
+                            cache_dtype=jnp.float32)
+    sess = _spec_session(spec)
+    gen = GenerationConfig(max_new_tokens=5, eos_token_id=-5)
+
+    got1 = list(sess.stream(vx, jnp.asarray(ids), gen=gen))
+    prompt2 = np.concatenate(
+        [ids, np.asarray([got1], np.int32),
+         np.asarray(rng.integers(5, 200, (1, 4)), np.int32)], axis=1)
+    edited = prompt2.copy()
+    edited[0, 6] = (edited[0, 6] + 1) % 200 + 5
+    ref = _stateless(engine, vx, edited, gen)
+    got = list(sess.stream(vx, jnp.asarray(edited), gen=gen))
+    assert got == ref
+    assert not sess.last_stats["restart"]
+    assert sess.last_stats["reused"] == 6
+
+
+def test_spec_session_eos_and_capacity(rng):
+    """eos mid-round terminates cleanly and the NEXT turn still works;
+    capacity overflow raises ValueError before any output."""
+    cfg, model, params_t, vx, ids, spec = _spec_pair(rng)
+    engine = OtterGenerator(model, params_t, cfg,
+                            cache_dtype=jnp.float32)
+    sess = _spec_session(spec)
+    # pick an eos the greedy path actually emits (cuts at its FIRST
+    # occurrence, which may be before index 2 if the token repeats)
+    probe = _stateless(engine, vx, ids,
+                       GenerationConfig(max_new_tokens=6,
+                                        eos_token_id=-5))
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=probe[2])
+    ref = _stateless(engine, vx, ids, gen)
+    got = list(sess.stream(vx, jnp.asarray(ids), gen=gen))
+    assert got == ref and len(got) < len(probe)
+    # follow-up turn after the eos cut
+    prompt2 = np.concatenate(
+        [ids, np.asarray([got], np.int32),
+         np.asarray(rng.integers(5, 200, (1, 4)), np.int32)], axis=1)
+    gen2 = GenerationConfig(max_new_tokens=4, eos_token_id=-5)
+    assert list(sess.stream(vx, jnp.asarray(prompt2), gen=gen2)) == \
+        _stateless(engine, vx, prompt2, gen2)
+    with pytest.raises(ValueError):
+        list(sess.stream(vx, jnp.asarray(ids),
+                         gen=GenerationConfig(max_new_tokens=200,
+                                              eos_token_id=-5)))
+
+
+def test_spec_session_sampled_t0_matches_greedy(rng):
+    """do_sample at T~0 through the composition: the processed
+    distribution is a near-delta, so output equals the greedy stateless
+    stream — exercising the sampled round path end-to-end with reuse."""
+    cfg, model, params_t, vx, ids, spec = _spec_pair(rng)
+    engine = OtterGenerator(model, params_t, cfg,
+                            cache_dtype=jnp.float32)
+    sess = _spec_session(spec)
+    gen_g = GenerationConfig(max_new_tokens=5, eos_token_id=-5)
+    gen_s = GenerationConfig(max_new_tokens=5, eos_token_id=-5,
+                             do_sample=True, temperature=0.01)
+    got1 = list(sess.stream(vx, jnp.asarray(ids), gen=gen_s))
+    assert got1 == _stateless(engine, vx, ids, gen_g)
+    prompt2 = np.concatenate(
+        [ids, np.asarray([got1], np.int32),
+         np.asarray(rng.integers(5, 200, (1, 4)), np.int32)], axis=1)
+    got2 = list(sess.stream(vx, jnp.asarray(prompt2), gen=gen_s))
+    assert got2 == _stateless(engine, vx, prompt2, gen_g)
+    assert not sess.last_stats["restart"]
