@@ -763,9 +763,9 @@ def main():
         spec_sessions = None
         if spec is not None and args.session_cache > 0:
             # compose: session_id requests get cross-turn prefix reuse
-            # AND speculative rounds; the plain pool stays for requests
-            # spec can't take (ngram bans etc. restart statelessly, so
-            # no second cache is pinned unless actually used)
+            # AND speculative rounds; the plain pool still serves sid
+            # requests spec can't take (ngram/bad-words bans), so no
+            # second cache is pinned unless such a request arrives
             from otter_tpu.generation.session import (SessionPool,
                                                       SpecChatSession)
             spec_sessions = SessionPool(
