@@ -483,12 +483,14 @@ class FuyuConfig(_JsonMixin):
 class ParallelConfig(_JsonMixin):
     """Mesh/sharding config replacing Accelerate/DeepSpeed YAML (SURVEY.md §2 P2).
 
-    dp × fsdp × tp must equal the device count. ZeRO-3 ≡ fsdp>1;
-    DDP ≡ dp>1; tensor-parallel serving ≡ tp>1.
+    dp × fsdp × sp × tp must equal the device count. ZeRO-3 ≡ fsdp>1;
+    DDP ≡ dp>1; tensor-parallel serving ≡ tp>1; sequence/context
+    parallelism (ring attention, beyond the reference) ≡ sp>1.
     """
 
     dp: int = 1
     fsdp: int = -1   # -1: all remaining devices
+    sp: int = 1      # sequence (context) parallel — ring attention
     tp: int = 1
     # dtype policy
     param_dtype: str = "bfloat16"

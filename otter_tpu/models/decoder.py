@@ -600,7 +600,8 @@ class Decoder(nn.Module):
         patches; replaces the reference's gather_continuous_embeddings
         scatter, fuyu/modeling_fuyu.py:44-77).
         """
-        from otter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, maybe_shard
+        from otter_tpu.parallel.mesh import (DATA_AXIS, FSDP_AXIS, SEQ_AXIS,
+                                             maybe_shard)
         c = self.cfg
         embed = nn.Embed(c.total_vocab, c.hidden_size,
                          dtype=self.dtype, name="wte")
@@ -608,7 +609,7 @@ class Decoder(nn.Module):
         if merge_embeds is not None:
             values, vmask = merge_embeds
             x = jnp.where(vmask[..., None], values.astype(x.dtype), x)
-        x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), None, None)
+        x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), SEQ_AXIS, None)
         b, s, _ = x.shape
 
         if c.pos == "learned":
@@ -689,7 +690,7 @@ class Decoder(nn.Module):
                 x, positions=positions, attn_ids=attn_ids, bias=bias,
                 cache=cur_cache, kv_valid=kv_valid, cache_pos=cache_pos,
                 layer=i)
-            x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), None, None)
+            x = maybe_shard(x, (DATA_AXIS, FSDP_AXIS), SEQ_AXIS, None)
             if cur_cache is not None and lc is not None:
                 cur_cache = lc
         new_cache = cur_cache if cache is not None else None

@@ -7,6 +7,7 @@ The models call this single entry point; it replaces the reference's
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -14,6 +15,48 @@ import jax.numpy as jnp
 
 from otter_tpu.ops import attention_ref, flash_attention as fa
 from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
+
+# sequence-parallel routing state: a stack of (mesh, axis) pushed by the
+# `sequence_parallel` context manager (set by the train step while TRACING
+# its jitted step — the decision is baked into the traced graph, so the
+# context must wrap the first call that triggers tracing)
+_SEQ_PARALLEL = []
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis: str = "seq"):
+    """Route eligible causal self-attention through the ring-attention
+    sequence-parallel path (ops/ring_attention.py) while tracing under
+    this context. Eligible = causal, full-sequence (S_q == S_kv > 1,
+    i.e. training/prefill, never cached decode), S divisible by the mesh's
+    `axis` extent, and any additive bias in column form [.., 1, S] (the
+    decoder's ALiBi form). Everything else falls through to the normal
+    impl untouched."""
+    if mesh.shape.get(axis, 1) <= 1:
+        yield
+        return
+    _SEQ_PARALLEL.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _SEQ_PARALLEL.pop()
+
+
+def _maybe_ring(q, k, v, bias, q_ids, kv_ids, ids_mode, causal, sm_scale):
+    """The ring path when the sequence_parallel context applies, else None."""
+    if not _SEQ_PARALLEL or not causal:
+        return None
+    mesh, axis = _SEQ_PARALLEL[-1]
+    n = mesh.shape[axis]
+    s_q, s_k = q.shape[2], k.shape[2]
+    if s_q != s_k or s_q <= 1 or s_q % n != 0:
+        return None
+    if bias is not None and not (bias.ndim == 4 and bias.shape[2] == 1):
+        return None
+    from otter_tpu.ops.ring_attention import ring_attention
+    return ring_attention(q, k, v, mesh=mesh, axis=axis, causal=True,
+                          sm_scale=sm_scale, bias=bias, q_ids=q_ids,
+                          kv_ids=kv_ids, ids_mode=ids_mode)
 
 
 def _default_impl() -> str:
@@ -48,6 +91,11 @@ def multi_head_attention(
     if h_kv != h:  # MQA/GQA: replicate kv heads (falcon multiquery)
         k = jnp.repeat(k, h // h_kv, axis=1)
         v = jnp.repeat(v, h // h_kv, axis=1)
+
+    ring = _maybe_ring(q, k, v, bias, q_ids, kv_ids, ids_mode, causal,
+                       sm_scale)
+    if ring is not None:
+        return ring
 
     if impl == "pallas":
         return fa.flash_attention(

@@ -7,34 +7,54 @@ the ring via `ppermute` while each device accumulates its queries'
 online-softmax statistics — communication is point-to-point over ICI and
 overlaps with the local attention compute (XLA latency-hiding scheduler).
 
-Implemented with shard_map over an existing mesh axis; the local block
-attention reuses the flash kernel on TPU (jnp reference elsewhere) through
-ops.attention.multi_head_attention.
+Supports the full decoder self-attention surface of the training path
+(models/decoder.py Decoder.__call__):
+  - causal masking with global offsets,
+  - COLUMN-FORM additive bias [B|1, H|1, 1, S] (the decoder's ALiBi form,
+    mpt/attention.py:457-464 equivalent): per-row-uniform shifts cancel in
+    the online softmax exactly as in a single softmax, and the bias block
+    rotates around the ring with its KV block,
+  - eq/ge segment-id masks ([B, S] ids; kv ids rotate with KV).
+
+Implemented with shard_map over a mesh axis (default the dedicated "seq"
+axis, parallel/mesh.py); batch stays sharded over (data, fsdp) and heads
+over "tensor" inside the shard_map, so sp composes with dp/fsdp/tp without
+involuntary all-gathers.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
 
 
 def _local_attention_stats(q, k, v, q_offset, kv_offset, *, causal,
-                           sm_scale, mask_value=DEFAULT_MASK_VALUE):
+                           sm_scale, bias=None, q_ids=None, kv_ids=None,
+                           ids_mode="eq", mask_value=DEFAULT_MASK_VALUE):
     """Block attention returning (out_unnormalized, m, l) for online
     combination. q [B,H,Sq,D], k/v [B,H,Sk,D]; offsets are the global
-    positions of the first row/col."""
+    positions of the first row/col. bias [B|1,H|1,1,Sk] column-form."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * sm_scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    allowed = None
     if causal:
         rows = q_offset + jnp.arange(q.shape[2])[:, None]
         cols = kv_offset + jnp.arange(k.shape[2])[None, :]
-        logits = jnp.where((cols <= rows)[None, None], logits, mask_value)
+        allowed = (cols <= rows)[None, None]
+    if q_ids is not None:
+        qi = q_ids[:, None, :, None].astype(jnp.int32)
+        ki = kv_ids[:, None, None, :].astype(jnp.int32)
+        idm = (qi == ki) if ids_mode == "eq" else (qi >= ki)
+        allowed = idm if allowed is None else (allowed & idm)
+    if allowed is not None:
+        logits = jnp.where(allowed, logits, mask_value)
     m = jnp.max(logits, axis=-1, keepdims=True)           # [B,H,Sq,1]
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -43,52 +63,109 @@ def _local_attention_stats(q, k, v, q_offset, kv_offset, *, causal,
 
 
 def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   *, mesh: Mesh, axis: str = "fsdp",
+                   *, mesh: Mesh, axis: str = "seq",
                    causal: bool = True,
-                   sm_scale: Optional[float] = None) -> jnp.ndarray:
+                   sm_scale: Optional[float] = None,
+                   bias: Optional[jnp.ndarray] = None,
+                   q_ids: Optional[jnp.ndarray] = None,
+                   kv_ids: Optional[jnp.ndarray] = None,
+                   ids_mode: str = "eq") -> jnp.ndarray:
     """q/k/v [B, H, S, D] with S sharded over `axis`; returns [B, H, S, D]
-    with the same sharding. The ring rotates KV by one neighbor per step
-    (jax.lax.ppermute), N-1 steps total."""
+    with the same sharding. The ring rotates KV (and the column bias /
+    kv_ids blocks with it) by one neighbor per step (jax.lax.ppermute),
+    N-1 rotations total.
+
+    bias must be COLUMN-FORM [B|1, H|1, 1, S]: a per-column additive term
+    (ALiBi relative-to-last-row). Row-dependent biases would need [Sq, Sk]
+    blocks; the decoder never produces one outside the decode path.
+    """
+    from otter_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
+
     d = q.shape[-1]
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     n = mesh.shape[axis]
-    s_total = q.shape[2]
+    b, h, s_total = q.shape[0], q.shape[1], q.shape[2]
     assert s_total % n == 0, (s_total, n)
+    if bias is not None:
+        assert bias.ndim == 4 and bias.shape[2] == 1, bias.shape
+    if (q_ids is None) != (kv_ids is None):
+        raise ValueError("q_ids and kv_ids must be passed together")
     chunk = s_total // n
+    has_bias, has_ids = bias is not None, q_ids is not None
 
-    def local_fn(q_l, k_l, v_l):
+    # batch/head specs mirror the ambient activation sharding so sp
+    # composes with dp/fsdp/tp (a None here would all-gather those dims)
+    batch_axes = tuple(a for a in (DATA_AXIS, FSDP_AXIS)
+                       if a != axis and a in mesh.shape)
+
+    def dim(size, names):
+        """Use `names` for this dim only when it divides; else replicate."""
+        if not names:
+            return None
+        sz = 1
+        for a in (names if isinstance(names, tuple) else (names,)):
+            sz *= mesh.shape.get(a, 1)
+        return names if sz > 1 and size % sz == 0 else None
+
+    bspec = dim(b, batch_axes)
+    tsize = mesh.shape.get(TENSOR_AXIS, 1)
+    hspec = dim(h, TENSOR_AXIS) if tsize > 1 else None
+
+    qkv_spec = P(bspec, hspec, axis, None)
+    operands = [q, k, v]
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    if has_bias:
+        operands.append(bias)
+        in_specs.append(P(dim(bias.shape[0], batch_axes),
+                          dim(bias.shape[1], TENSOR_AXIS)
+                          if tsize > 1 else None, None, axis))
+    if has_ids:
+        operands.extend([q_ids, kv_ids])
+        ids_spec = P(dim(q_ids.shape[0], batch_axes), axis)
+        in_specs.extend([ids_spec, ids_spec])
+
+    def local_fn(*args):
+        it = iter(args)
+        q_l, k_l, v_l = next(it), next(it), next(it)
+        bias_l = next(it) if has_bias else None
+        qid_l = next(it) if has_ids else None
+        kid_l = next(it) if has_ids else None
         idx = jax.lax.axis_index(axis)
         q_off = idx * chunk
+        perm = [(j, (j + 1) % n) for j in range(n)]
 
         def step(carry, i):
-            k_blk, v_blk, acc, m, l = carry
+            k_blk, v_blk, bias_blk, kid_blk, acc, m, l = carry
             src = (idx - i) % n          # which shard this block came from
             kv_off = src * chunk
             out_b, m_b, l_b = _local_attention_stats(
                 q_l, k_blk, v_blk, q_off, kv_off, causal=causal,
-                sm_scale=scale)
+                sm_scale=scale, bias=bias_blk, q_ids=qid_l,
+                kv_ids=kid_blk, ids_mode=ids_mode)
             m_new = jnp.maximum(m, m_b)
             alpha = jnp.exp(m - m_new)
             beta = jnp.exp(m_b - m_new)
             acc = acc * alpha + out_b * beta
             l = l * alpha + l_b * beta
             m = m_new
-            perm = [(j, (j + 1) % n) for j in range(n)]
             k_blk = jax.lax.ppermute(k_blk, axis, perm)
             v_blk = jax.lax.ppermute(v_blk, axis, perm)
-            return (k_blk, v_blk, acc, m, l), None
+            if bias_blk is not None:
+                bias_blk = jax.lax.ppermute(bias_blk, axis, perm)
+            if kid_blk is not None:
+                kid_blk = jax.lax.ppermute(kid_blk, axis, perm)
+            return (k_blk, v_blk, bias_blk, kid_blk, acc, m, l), None
 
         # derive init carries from q_l so shard_map marks them as varying
         # over the ring axis (scan requires carry types to match exactly)
         acc0 = q_l.astype(jnp.float32) * 0.0
         m0 = acc0[..., :1] - jnp.inf
         l0 = acc0[..., :1]
-        (k_blk, v_blk, acc, m, l), _ = jax.lax.scan(
-            step, (k_l, v_l, acc0, m0, l0), jnp.arange(n))
+        (_, _, _, _, acc, m, l), _ = jax.lax.scan(
+            step, (k_l, v_l, bias_l, kid_l, acc0, m0, l0), jnp.arange(n))
         l = jnp.where(l == 0.0, 1.0, l)
         return (acc / l).astype(q_l.dtype)
 
-    spec = P(None, None, axis, None)
     return jax.shard_map(local_fn, mesh=mesh,
-                         in_specs=(spec, spec, spec),
-                         out_specs=spec)(q, k, v)
+                         in_specs=tuple(in_specs),
+                         out_specs=qkv_spec)(*operands)

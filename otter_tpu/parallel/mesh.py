@@ -2,11 +2,15 @@
 
 Replaces the reference's NCCL/Accelerate/DeepSpeed distributed layer
 (`pipeline/train/distributed.py:25-96`, `pipeline/accelerate_configs/`) with a
-single JAX mesh: axes ("data", "fsdp", "tensor").
+single JAX mesh: axes ("data", "fsdp", "seq", "tensor").
 
   - DDP            -> dp > 1
   - ZeRO-1/2/3     -> fsdp > 1 (params/grads/opt-state sharded over "fsdp")
   - device_map     -> tp > 1 (tensor-parallel sharding of attention/MLP)
+  - (no reference equivalent) -> sp > 1: sequence/context parallelism —
+    activations sharded along the sequence dim, self-attention rotates KV
+    around the "seq" ring (ops/ring_attention.py). Long-context training
+    headroom the reference's NCCL stack does not have.
 
 Collectives ride ICI via XLA; nothing here issues explicit NCCL-style calls.
 """
@@ -23,28 +27,33 @@ from otter_tpu.config import ParallelConfig
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+SEQ_AXIS = "seq"
 TENSOR_AXIS = "tensor"
-MESH_AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+MESH_AXES = (DATA_AXIS, FSDP_AXIS, SEQ_AXIS, TENSOR_AXIS)
 
 
 def create_mesh(cfg: Optional[ParallelConfig] = None,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build the ("data", "fsdp", "tensor") mesh.
+    """Build the ("data", "fsdp", "seq", "tensor") mesh.
 
-    `fsdp == -1` absorbs all devices not claimed by dp/tp (the common case:
-    1 × N × 1 is ZeRO-3-style fully sharded data parallel).
+    `fsdp == -1` absorbs all devices not claimed by dp/sp/tp (the common
+    case: 1 × N × 1 × 1 is ZeRO-3-style fully sharded data parallel).
+    "seq" sits between "fsdp" and "tensor" so ring neighbors are
+    ICI-adjacent within each fsdp group.
     """
     cfg = cfg or ParallelConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    dp, fsdp, tp = cfg.dp, cfg.fsdp, cfg.tp
+    dp, fsdp, sp, tp = cfg.dp, cfg.fsdp, getattr(cfg, "sp", 1), cfg.tp
     if fsdp == -1:
-        if n % (dp * tp) != 0:
-            raise ValueError(f"device count {n} not divisible by dp*tp={dp * tp}")
-        fsdp = n // (dp * tp)
-    if dp * fsdp * tp != n:
-        raise ValueError(f"dp*fsdp*tp={dp * fsdp * tp} != {n} devices")
-    arr = np.array(devices).reshape(dp, fsdp, tp)
+        if n % (dp * sp * tp) != 0:
+            raise ValueError(
+                f"device count {n} not divisible by dp*sp*tp={dp * sp * tp}")
+        fsdp = n // (dp * sp * tp)
+    if dp * fsdp * sp * tp != n:
+        raise ValueError(
+            f"dp*fsdp*sp*tp={dp * fsdp * sp * tp} != {n} devices")
+    arr = np.array(devices).reshape(dp, fsdp, sp, tp)
     return Mesh(arr, MESH_AXES)
 
 
@@ -94,4 +103,4 @@ def local_mesh_for_testing(n: int = 8) -> Mesh:
         raise RuntimeError(
             f"need {n} devices, have {len(devs)}; set "
             "XLA_FLAGS=--xla_force_host_platform_device_count before importing jax")
-    return Mesh(np.array(devs[:n]).reshape(1, n, 1), MESH_AXES)
+    return Mesh(np.array(devs[:n]).reshape(1, n, 1, 1), MESH_AXES)

@@ -2,7 +2,7 @@
 
 Replaces DeepSpeed ZeRO configs (`pipeline/accelerate_configs/*.yaml`,
 `ds_zero3_config.json`) with one declarative rule table over the
-("data", "fsdp", "tensor") mesh:
+("data", "fsdp", "seq", "tensor") mesh:
 
   - fsdp axis: ZeRO-3-style fully sharded parameters
   - tensor axis: megatron-style TP (column-parallel up/QKV projections,

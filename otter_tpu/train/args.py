@@ -52,6 +52,7 @@ class TrainArgs:
     # parallelism (replaces accelerate/deepspeed YAML)
     dp: int = 1
     fsdp: int = -1
+    sp: int = 1      # sequence/context parallel (ring attention)
     tp: int = 1
     precision: str = "bf16"            # bf16 | fp32
     multi_host: bool = False           # jax.distributed.initialize()

@@ -68,23 +68,34 @@ def interleaved_labels(input_ids: np.ndarray, pad_id: int, media_id: int,
 def make_pretrain_step(model, cfg: OtterConfig, tx, *,
                        loss_multiplier_laion: float = 0.2,
                        loss_multiplier_mmc4: float = 1.0,
-                       attend_previous: Optional[bool] = None):
+                       attend_previous: Optional[bool] = None,
+                       mesh=None):
     """step(state, laion_batch, mmc4_batch, rng) -> (state, metrics).
 
     Each batch: {vision_x, input_ids, attention_mask, labels}; either may be
     None (CC3M-only etc.). attend_previous=None draws it randomly per step
     (use_media_placement_augmentation, modeling_flamingo.py:451).
     """
+    import contextlib
+
     import optax
+
+    from otter_tpu.ops.attention import sequence_parallel
 
     def forward(trainable, frozen, batch, attend_prev):
         params = merge_params(trainable, frozen)
-        logits, _, _ = model.apply(
+        ctx = (sequence_parallel(mesh) if mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            logits, _, _ = _apply(params, batch, attend_prev)
+        loss, _ = causal_lm_loss(logits, batch["labels"])
+        return loss
+
+    def _apply(params, batch, attend_prev):
+        return model.apply(
             {"params": params}, batch["vision_x"], batch["input_ids"],
             attention_mask=batch["attention_mask"],
             attend_previous=attend_prev)
-        loss, _ = causal_lm_loss(logits, batch["labels"])
-        return loss
 
     def loss_fn(trainable, frozen, laion_batch, mmc4_batch, attend_prev):
         total = 0.0
@@ -134,6 +145,7 @@ def train(args, tokenizer, *, dataset_types=("laion", "mmc4")):
     model = OtterVLM(cfg, dtype=jnp.bfloat16
                      if args.precision == "bf16" else jnp.float32)
     mesh = create_mesh(ParallelConfig(dp=args.dp, fsdp=args.fsdp,
+                                      sp=getattr(args, "sp", 1),
                                       tp=args.tp))
     datas = {t: get_data(args, tokenizer, t) for t in dataset_types}
     steps_per_epoch = min(d.num_batches for d in datas.values())
@@ -160,7 +172,8 @@ def train(args, tokenizer, *, dataset_types=("laion", "mmc4")):
         step_fn = jax.jit(make_pretrain_step(
             model, cfg, tx,
             loss_multiplier_laion=pair_mult,
-            loss_multiplier_mmc4=args.loss_multiplier_mmc4),
+            loss_multiplier_mmc4=args.loss_multiplier_mmc4,
+            mesh=mesh),
             static_argnames=("attend_prev",), donate_argnums=(0,))
 
         save_dir = os.path.join(args.external_save_dir, args.run_name)

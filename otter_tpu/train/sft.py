@@ -1,7 +1,7 @@
 """SFT trainer entry point — the reference's
 `pipeline/train/instruction_following.py` rebuilt on the TPU mesh:
 
-  accelerate/DeepSpeed launch        -> mesh (dp, fsdp, tp) + pjit step
+  accelerate/DeepSpeed launch        -> mesh (dp, fsdp, sp, tp) + pjit step
   subprocess pytest prerun gate      -> yaml_spec.verify_yaml
   model zoo dispatch (:331-427)      -> config factories
   weighted multi-dataloader sampling -> WeightedMultiLoader
@@ -143,6 +143,7 @@ def main(args: TrainArgs, tokenizer=None):
             tokenizer.add_special_tokens({"pad_token": "<PAD>"})
 
     mesh = create_mesh(ParallelConfig(dp=args.dp, fsdp=args.fsdp,
+                                      sp=getattr(args, "sp", 1),
                                       tp=args.tp))
     multi = build_loaders(args, cfg, tokenizer, rank, world)
     steps_per_epoch = len(multi) // args.gradient_accumulation_steps
@@ -180,7 +181,8 @@ def main(args: TrainArgs, tokenizer=None):
         step_fn = jax.jit(make_train_step(
             model, cfg, tx, mask_embedding=args.mask_lm_head,
             attend_previous=not cfg.use_media_placement_augmentation,
-            fused_ce_chunk=args.fused_ce_chunk), donate_argnums=(0,))
+            fused_ce_chunk=args.fused_ce_chunk,
+            mesh=mesh), donate_argnums=(0,))
 
         save_dir = os.path.join(args.external_save_dir, args.run_name)
         store = CheckpointStore(

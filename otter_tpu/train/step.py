@@ -240,7 +240,8 @@ def make_train_step(model, cfg: OtterConfig,
                     tx: optax.GradientTransformation,
                     *, mask_embedding: bool = False,
                     attend_previous: bool = True,
-                    fused_ce_chunk: int = 0):
+                    fused_ce_chunk: int = 0,
+                    mesh=None):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch: {vision_x [B,T,F,C,H,W], input_ids [B,S], attention_mask [B,S],
@@ -250,12 +251,29 @@ def make_train_step(model, cfg: OtterConfig,
     fused_ce_chunk > 0 routes the loss through `chunked_causal_lm_loss`
     (model forward with skip_head=True; the full-vocab logits are never
     materialized).
+
+    mesh: pass the training Mesh to enable sequence-parallel (ring)
+    self-attention when its "seq" axis is > 1 (ParallelConfig.sp) —
+    activations shard along S, KV blocks rotate over ICI
+    (ops/ring_attention.py). No-op on sp=1 meshes.
     """
+    import contextlib
+
+    from otter_tpu.ops.attention import sequence_parallel
+
     emb_mask = embedding_grad_mask(cfg) if mask_embedding else None
     tcfg = cfg.text
 
+    def sp_ctx():
+        return (sequence_parallel(mesh) if mesh is not None
+                else contextlib.nullcontext())
+
     def loss_fn(trainable, frozen, batch):
         params = merge_params(trainable, frozen)
+        with sp_ctx():
+            return _loss_body(params, batch)
+
+    def _loss_body(params, batch):
         if fused_ce_chunk:
             hidden, _, _ = model.apply(
                 {"params": params}, batch["vision_x"], batch["input_ids"],

@@ -14,16 +14,59 @@ from otter_tpu.config import ParallelConfig
 
 @pytest.mark.parametrize("causal", [False, True])
 def test_ring_matches_full(rng, causal):
-    mesh = create_mesh(ParallelConfig(dp=1, fsdp=8, tp=1),
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=1, sp=8, tp=1),
                        jax.devices()[:8])
     b, h, s, d = 2, 2, 256, 64
     q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
-    sharding = NamedSharding(mesh, P(None, None, "fsdp", None))
+    sharding = NamedSharding(mesh, P(None, None, "seq", None))
     qs, ks, vs = (jax.device_put(x, sharding) for x in (q, k, v))
     out = jax.jit(lambda a, b_, c: ring_attention(
         a, b_, c, mesh=mesh, causal=causal))(qs, ks, vs)
     ref = mha_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_over_fsdp_axis(rng):
+    """The ring can ride the fsdp axis too (ZeRO-sharing configs)."""
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=8, sp=1, tp=1),
+                       jax.devices()[:8])
+    b, h, s, d = 1, 2, 128, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    out = jax.jit(lambda a, b_, c: ring_attention(
+        a, b_, c, mesh=mesh, axis="fsdp", causal=True))(q, k, v)
+    ref = mha_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_column_bias_and_ids(rng):
+    """The decoder training surface: ALiBi column-form bias rotates with
+    the KV blocks; eq-mode segment ids (padding mask) too."""
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=1, sp=4, tp=1),
+                       jax.devices()[:4])
+    b, h, s, d = 2, 4, 64, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    # column-form alibi: (j - (s-1)) * slope
+    slopes = jnp.asarray([0.5 ** (i + 1) for i in range(h)], jnp.float32)
+    rel = jnp.arange(1 - s, 1, dtype=jnp.float32)
+    bias = rel[None, None, None, :] * slopes[None, :, None, None]
+    # padding ids: last rows of each batch are padding (id 0)
+    ids = np.ones((b, s), np.int32)
+    ids[0, -7:] = 0
+    ids[1, -13:] = 0
+    ids = jnp.asarray(ids)
+
+    out = jax.jit(lambda *a: ring_attention(
+        a[0], a[1], a[2], mesh=mesh, causal=True, bias=a[3],
+        q_ids=a[4], kv_ids=a[4], ids_mode="eq"))(q, k, v, bias, ids)
+
+    qi = ids[:, None, :, None]
+    ki = ids[:, None, None, :]
+    ref = mha_reference(q, k, v, bias=bias, mask=(qi == ki), causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)

@@ -90,7 +90,7 @@ def test_7b_fwd_bwd_lowers_on_fsdp8_mesh():
     the fsdp=8 recipe mesh, abstract params carrying real NamedShardings."""
     cfg = otter_mpt7b()
     model, shapes = _abstract_params(cfg)
-    devices = np.asarray(jax.devices()[:8]).reshape(1, 8, 1)
+    devices = np.asarray(jax.devices()[:8]).reshape(1, 8, 1, 1)
     mesh = Mesh(devices, MESH_AXES)
     specs = param_specs(shapes)
     params_abs = jax.tree_util.tree_map(

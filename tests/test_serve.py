@@ -609,9 +609,11 @@ def test_spec_stream_fn_matches_engine():
     assert list(spec_fn(req))[-1] == list(plain_fn(req))[-1]
     # sampled requests run speculatively too; at T~0 the processed
     # distribution is a near-delta, so both paths emit the greedy text
+    # (T=1e-3: a top-2 logit gap g becomes g/T — at 0.01 a ~1e-2 gap
+    # left a tiny non-greedy mass that flaked once in CI)
     req_s = dict(req, generation_kwargs={"max_new_tokens": 5,
                                          "do_sample": True,
-                                         "temperature": 0.01})
+                                         "temperature": 0.001})
     assert list(spec_fn(req_s))[-1] == list(plain_fn(req))[-1]
     # ngram-constrained requests fall back to the engine (identical
     # seeded path)
