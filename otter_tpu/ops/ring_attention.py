@@ -134,14 +134,23 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         q_off = idx * chunk
         perm = [(j, (j + 1) % n) for j in range(n)]
 
+        # rematerialize each block's stats in the backward pass: without
+        # this, AD through the scan persists every block's [B,H,Sq,Sk]
+        # probability matrix — O(S²/n) per device per layer, the exact
+        # quadratic footprint sequence parallelism exists to avoid. With
+        # it, the scan residuals are just the rotated KV blocks (held
+        # anyway) and the O(S·D) carries.
+        local_stats = jax.checkpoint(
+            lambda q_, k_, v_, kv_off, b_, ki_: _local_attention_stats(
+                q_, k_, v_, q_off, kv_off, causal=causal, sm_scale=scale,
+                bias=b_, q_ids=qid_l, kv_ids=ki_, ids_mode=ids_mode))
+
         def step(carry, i):
             k_blk, v_blk, bias_blk, kid_blk, acc, m, l = carry
             src = (idx - i) % n          # which shard this block came from
             kv_off = src * chunk
-            out_b, m_b, l_b = _local_attention_stats(
-                q_l, k_blk, v_blk, q_off, kv_off, causal=causal,
-                sm_scale=scale, bias=bias_blk, q_ids=qid_l,
-                kv_ids=kid_blk, ids_mode=ids_mode)
+            out_b, m_b, l_b = local_stats(q_l, k_blk, v_blk, kv_off,
+                                          bias_blk, kid_blk)
             m_new = jnp.maximum(m, m_b)
             alpha = jnp.exp(m - m_new)
             beta = jnp.exp(m_b - m_new)

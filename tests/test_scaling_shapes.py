@@ -130,3 +130,58 @@ def test_7b_fwd_bwd_lowers_on_fsdp8_mesh():
         lowered = jax.jit(grad_fn).lower(trainable, frozen, batch)
     text = lowered.as_text()
     assert "stablehlo" in text or "module" in text
+
+
+@pytest.mark.slow
+def test_7b_long_context_lowers_on_sp4_mesh():
+    """Trace + GSPMD-lower (no execute) the 7B SFT fwd+bwd at b1 s=8192 —
+    4x the reference's max_seq_len 2048 — on a fsdp=2 x sp=4 mesh with
+    ring attention active (the sequence-parallel long-context recipe,
+    docs/scaling.md). Validates the ring shard_map + remat + GSPMD
+    propagation at real 7B dims without hardware."""
+    from otter_tpu.ops.attention import sequence_parallel
+    from otter_tpu.train.step import causal_lm_loss, merge_params, \
+        split_params
+
+    cfg = otter_mpt7b()
+    cfg = cfg.replace(text=cfg.text.replace(max_seq_len=8192))
+    model, shapes = _abstract_params(cfg)
+    devices = np.asarray(jax.devices()[:8]).reshape(1, 2, 4, 1)
+    mesh = Mesh(devices, MESH_AXES)
+    specs = param_specs(shapes)
+    params_abs = jax.tree_util.tree_map(
+        lambda s, sp: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
+        shapes, specs, is_leaf=lambda x: isinstance(x, jax.ShapeDtypeStruct))
+    trainable, frozen = split_params(params_abs, cfg)
+
+    b, s = 1, 8192
+    rep = NamedSharding(mesh, P())
+
+    def abs_in(shape, dtype, spec):
+        return jax.ShapeDtypeStruct(shape, dtype,
+                                    sharding=NamedSharding(mesh, spec))
+
+    batch = {
+        "vision_x": jax.ShapeDtypeStruct((b, 1, 1, 3, 224, 224),
+                                         jnp.bfloat16, sharding=rep),
+        "input_ids": abs_in((b, s), jnp.int32, P(None, "seq")),
+        "attention_mask": abs_in((b, s), jnp.int32, P(None, "seq")),
+        "labels": abs_in((b, s), jnp.int32, P(None, "seq")),
+    }
+
+    def loss_fn(trainable, frozen, batch):
+        params = merge_params(trainable, frozen)
+        with sequence_parallel(mesh):
+            logits, _, _ = model.apply(
+                {"params": params}, batch["vision_x"], batch["input_ids"],
+                attention_mask=batch["attention_mask"])
+        loss, _ = causal_lm_loss(logits, batch["labels"])
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    with mesh:
+        lowered = jax.jit(grad_fn).lower(trainable, frozen, batch)
+    text = lowered.as_text()
+    assert "collective_permute" in text, \
+        "ring attention's ppermute should appear in the lowered module"
