@@ -50,18 +50,32 @@ class FuyuBatcher:
         return batch
 
 
-def make_fuyu_train_step(model: FuyuVLM, tx: optax.GradientTransformation):
-    """Full-model training step: state = {params, opt_state, step}."""
+def make_fuyu_train_step(model: FuyuVLM, tx: optax.GradientTransformation,
+                         *, mesh=None):
+    """Full-model training step: state = {params, opt_state, step}.
+
+    mesh: enables sequence-parallel ring self-attention when the mesh's
+    "seq" axis is > 1 (see make_train_step) — OtterHD full-resolution
+    sequences (2356+ tokens) are the natural sp customer."""
+    import contextlib
+
+    from otter_tpu.ops.attention import sequence_parallel
 
     def loss_fn(params, batch):
-        logits, _ = model.apply(
+        ctx = (sequence_parallel(mesh) if mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            logits, _ = _apply(params, batch)
+        loss, n = causal_lm_loss(logits, jnp.asarray(batch["labels"]))
+        return loss, {"loss": loss, "tokens": n}
+
+    def _apply(params, batch):
+        return model.apply(
             {"params": params}, jnp.asarray(batch["input_ids"]),
             image_patches=jnp.asarray(batch["image_patches"]),
             image_patches_indices=jnp.asarray(
                 batch["image_patches_indices"]),
             attention_mask=jnp.asarray(batch["attention_mask"]))
-        loss, n = causal_lm_loss(logits, jnp.asarray(batch["labels"]))
-        return loss, {"loss": loss, "tokens": n}
 
     def step(state, batch):
         (loss, metrics), grads = jax.value_and_grad(

@@ -119,3 +119,38 @@ def test_train_step_composes_dp_fsdp_sp(rng):
                                        fused_ce_chunk=16))
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fuyu_forward_matches_plain(rng):
+    """Persimmon-arch (OtterHD) forward parity under sp=4 — the
+    full-resolution Fuyu sequences are the natural sp customer
+    (train/fuyu_sft.py make_fuyu_train_step(mesh=...))."""
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.models.fuyu import FuyuVLM
+
+    cfg = FuyuConfig.tiny()
+    model = FuyuVLM(cfg)
+    b, s, p = 2, 32, 8
+    pd = cfg.patch_size ** 2 * 3
+    ids = np.asarray(rng.integers(5, 200, (b, s)), np.int32)
+    ids[:, :4] = cfg.image_placeholder_id
+    indices = np.full((b, s), -1, np.int32)
+    indices[:, :4] = np.arange(4)
+    patches = rng.standard_normal((b, p, pd)).astype(np.float32)
+    args = dict(image_patches=jnp.asarray(patches),
+                image_patches_indices=jnp.asarray(indices))
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), **args)
+    ref, _ = model.apply(params, jnp.asarray(ids), **args)
+
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=2, sp=4, tp=1),
+                       jax.devices()[:8])
+
+    def fwd(params, ids_):
+        logits, _ = model.apply(params, ids_, **args)
+        return logits
+
+    with mesh, sequence_parallel(mesh):
+        sp_logits = jax.jit(fwd)(params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
