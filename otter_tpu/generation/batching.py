@@ -143,7 +143,7 @@ class ContinuousBatcher:
                  buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024),
                  max_media: int = 1, cache_dtype=jnp.bfloat16,
                  rng_seed: int = 0, max_admits_per_iter: int = 1,
-                 hbm_bytes: float = 16e9):
+                 hbm_bytes: float = 16e9, prefill_chunk: int = 0):
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -160,6 +160,19 @@ class ContinuousBatcher:
         # this many requests are admitted per loop iteration (idle pool ->
         # drain the queue freely)
         self.max_admits_per_iter = max_admits_per_iter
+        # chunked prefill: a long prompt's prefill is one device program,
+        # so while it runs EVERY active decode stream stalls for its full
+        # duration (618 ms at OtterHD full-HD). prefill_chunk > 0 splits
+        # eligible admissions (single-stream, bucket > chunk) into
+        # chunk-sized cache-append steps interleaved with decode
+        # iterations — the per-stream decode stall is bounded by one
+        # chunk's time instead of the whole prompt's. The assembled cache
+        # is bit-identical to the one-shot prefill (tests/test_batching).
+        self.prefill_chunk = prefill_chunk
+        self._chunk_tasks: List[dict] = []    # admissions mid-prefill
+        self._ready_chunked: List[dict] = []  # all chunks dispatched
+        self._chunk_fns: Dict[Any, Any] = {}
+        self._encode_fn = None
         self._completed: List[dict] = []   # per-request latency records
 
         self._slots = [_Slot() for _ in range(num_slots)]
@@ -309,6 +322,132 @@ class ContinuousBatcher:
             self._insert_fns[bucket] = jax.jit(insert,
                                                donate_argnums=(0, 2, 3, 4))
         return self._insert_fns[bucket]
+
+    # ── chunked prefill ──────────────────────────────────────────────
+
+    def _get_encode(self):
+        if self._encode_fn is None:
+            self._encode_fn = jax.jit(
+                lambda params, vx: self.model.apply(
+                    params, vx, method="encode_vision"))
+        return self._encode_fn
+
+    def _get_chunk(self, bucket: int, t_img: int, n_lat: int):
+        """One prefill chunk: append `prefill_chunk` prompt tokens into a
+        b=1 local cache via the decoder's s>1 decode path (intra-block
+        causality + kv_valid). The chunk index is a traced scalar, so one
+        compilation per bucket serves every chunk. The xattn media ids
+        come from the FULL padded prompt (sliced per chunk) — mid-prompt
+        chunks can precede their media tokens, which the decode-mode
+        media_counts formula cannot express (models/otter.py xattn_ids)."""
+        key = (bucket, t_img, n_lat)
+        if key not in self._chunk_fns:
+            C = self.prefill_chunk
+            cfg = self.cfg
+
+            def chunk(params, cache, lat, ids, mask, ci):
+                from otter_tpu.ops.masks import media_attention_ids
+                S = ids.shape[1]
+                off = ci * C
+                positions = jnp.clip(jnp.cumsum(mask, -1) - 1, 0,
+                                     None).astype(jnp.int32)
+                q_f, kv_ids, keep_f = media_attention_ids(
+                    ids == cfg.media_token_id, t_img, n_lat,
+                    only_attend_immediate_media=
+                    cfg.only_attend_immediate_media,
+                    attend_previous=True)  # matches _get_prefill's default
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, off, C, 1)
+                kv_valid = mask.astype(bool) & (
+                    jnp.arange(S)[None, :] < (ci + 1) * C)
+                logits, cache, _ = self.model.apply(
+                    params, None, sl(ids), vis_latents=lat,
+                    cache=cache, cache_pos=off, kv_valid=kv_valid,
+                    positions=sl(positions),
+                    xattn_ids=(sl(q_f), kv_ids, sl(keep_f)))
+                return cache, logits[:, -1]
+
+            self._chunk_fns[key] = jax.jit(chunk, donate_argnums=(1,))
+        return self._chunk_fns[key]
+
+    def _chunk_begin(self, vision_x, lang_x, gen, out,
+                     t_submit: float = 0.0):
+        """Reserve a slot and dispatch the vision encode + first chunk;
+        the scheduler loop advances one chunk per iteration thereafter."""
+        free = next(i for i, s in enumerate(self._slots)
+                    if not s.active and not s.pending)
+        lang_x = np.asarray(lang_x)
+        real = int(lang_x.shape[1])
+        bucket = _round_bucket(real, self.buckets)
+        ids, mask = left_pad(lang_x, None, target_len=bucket,
+                             pad_id=gen.pad_token_id)
+        lat = self._get_encode()(self.params, jnp.asarray(vision_x))
+        task = dict(slot=free, gen=gen, out=out, t_submit=t_submit,
+                    cache=init_cache(self.cfg.text, 1, bucket,
+                                     self.cache_dtype),
+                    lat=lat, ids=jnp.asarray(ids), mask=jnp.asarray(mask),
+                    real=real, bucket=bucket, next=0,
+                    n=bucket // self.prefill_chunk,
+                    media=int(np.sum(lang_x == self.cfg.media_token_id)),
+                    last=None)
+        slot = self._slots[free]
+        slot.gen = gen
+        slot.out = out
+        slot.pending = True
+        slot.active = False
+        slot.t_submit = t_submit
+        self._chunk_tasks.append(task)
+        self._advance_task(task)
+        return task
+
+    def _advance_task(self, task):
+        t_img, n_lat = task["lat"].shape[1], task["lat"].shape[2]
+        fn = self._get_chunk(task["bucket"], t_img, n_lat)
+        task["cache"], task["last"] = fn(
+            self.params, task["cache"], task["lat"], task["ids"],
+            task["mask"], jnp.int32(task["next"]))
+        task["next"] += 1
+        if task["next"] >= task["n"]:
+            self._chunk_tasks.remove(task)
+            self._ready_chunked.append(task)
+
+    def _advance_chunked(self):
+        for task in list(self._chunk_tasks):
+            self._advance_task(task)
+
+    def _finalize_chunked(self):
+        """Pooled-state half of a chunked admission (caller must have
+        drained in-flight iterations): insert the assembled local cache,
+        sample the first token, and hand it to the finisher — from here
+        the flow is identical to `_admit_start`'s tail."""
+        ready, self._ready_chunked = self._ready_chunked, []
+        for task in ready:
+            free, gen = task["slot"], task["gen"]
+            bucket, real = task["bucket"], task["real"]
+            lat = task["lat"]
+            if self._latents is None:
+                shape = (self.n, self.max_media) + tuple(lat.shape[2:])
+                self._latents = jnp.zeros(shape, lat.dtype)
+            self._cache, self._buffer, self._valid, self._latents = \
+                self._get_insert(bucket)(
+                    self._cache, task["cache"], self._buffer, self._valid,
+                    self._latents, free, task["ids"][0], task["mask"][0],
+                    lat)
+            self._rng, sub = jax.random.split(self._rng)
+            first_logits = task["last"]
+            if gen.no_repeat_ngram_size or gen.bad_words_ids:
+                first_logits = sampling.process_logits(
+                    first_logits, task["ids"], bucket, gen, bucket - real)
+            tok_dev = sampling.sample_token(
+                sub, first_logits, do_sample=gen.do_sample,
+                temperature=gen.temperature, top_k=gen.top_k,
+                top_p=gen.top_p)[0]
+            slot = self._slots[free]
+            slot.real_len = real
+            slot.bucket = bucket
+            slot.written = bucket
+            slot.emitted = 1
+            slot.media = task["media"]
+            self._force_q.put((slot, tok_dev))
 
     def _get_decode(self, lp_configs: Tuple[Tuple[int, Any], ...],
                     need_logits: bool = False):
@@ -674,28 +813,40 @@ class ContinuousBatcher:
     def _admit(self):
         decoding = any(s.active for s in self._slots)
         started = []
+        n_started = 0
 
         def free_count():
             return sum(not s.active and not s.pending
                        for s in self._slots)
 
         def try_start(item) -> bool:
-            need = max(1, item[2].num_beams)
+            nonlocal n_started
+            gen = item[2]
+            need = max(1, gen.num_beams)
             if need > free_count():
                 return False
+            C = self.prefill_chunk
+            if C and gen.num_beams <= 1:
+                bucket = _round_bucket(int(np.asarray(item[1]).shape[1]),
+                                       self.buckets)
+                if bucket > C and bucket % C == 0:
+                    self._chunk_begin(*item)
+                    n_started += 1
+                    return True
             started.append(self._admit_start(*item))
+            n_started += 1
             return True
 
         # beam requests blocked on slot availability earlier get first
         # crack; smaller requests may backfill around a blocked one
         still = []
         for item in self._deferred:
-            if (decoding and len(started) >= self.max_admits_per_iter) \
+            if (decoding and n_started >= self.max_admits_per_iter) \
                     or not try_start(item):
                 still.append(item)
         self._deferred = still
         while not self._pending.empty():
-            if decoding and len(started) >= self.max_admits_per_iter:
+            if decoding and n_started >= self.max_admits_per_iter:
                 break
             if free_count() == 0:
                 break
@@ -854,18 +1005,24 @@ class ContinuousBatcher:
     def _loop(self):
         while not self._stop:
             if (not self._pending.empty() or self._deferred
-                    or self._finished):
+                    or self._finished or self._ready_chunked):
                 # admissions mutate pooled state and reuse freed slots:
                 # drain in-flight iterations first (frees slots, restores
                 # the host view), then activate finished admissions and
                 # insert new ones
                 self._drain_all()
                 self._collect_admitted()
+                self._finalize_chunked()
                 self._admit()
                 self._dirty = True
             busy = self._step()
+            # one prefill chunk per in-flight chunked admission rides
+            # after each decode iteration: the device interleaves them,
+            # bounding every stream's stall at one chunk's compute
+            self._advance_chunked()
             if (not busy and self._pending.empty() and not self._deferred
-                    and not self._finished):
+                    and not self._finished and not self._chunk_tasks
+                    and not self._ready_chunked):
                 # pending-only states park here too: the finisher sets
                 # _work when a first token lands (worst case the 0.2 s
                 # timeout covers a lost wakeup)

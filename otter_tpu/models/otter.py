@@ -68,13 +68,18 @@ class OtterVLM(nn.Module):
                  vis_latents=None,
                  cache=None, cache_pos=None, kv_valid=None,
                  positions=None,
-                 media_counts=None, vision_mask=None, skip_head=False):
+                 media_counts=None, vision_mask=None, skip_head=False,
+                 xattn_ids=None):
         """Full forward. If `vis_latents` is given, `vision_x` is ignored
         (the `use_cached_vision_x` behavior, modeling_otter.py:925-936).
 
         During cached decoding (cache_pos set) `media_counts` [B] gives the
         number of media in the prompt: generated tokens sit after all media,
-        so their text_time == media_counts.
+        so their text_time == media_counts. `xattn_ids` (q_ids, kv_ids,
+        out_keep) overrides both derivations — chunked prefill passes
+        slices of the full-prompt media ids, since mid-prompt chunks can
+        precede their media tokens and the media_counts formula only
+        covers post-prompt decoding.
         """
         c = self.cfg
         if vis_latents is None:
@@ -82,7 +87,9 @@ class OtterVLM(nn.Module):
         t_img = vis_latents.shape[1]
         n_lat = vis_latents.shape[2]
 
-        if cache_pos is None:
+        if xattn_ids is not None:
+            q_ids, kv_ids, out_keep = xattn_ids
+        elif cache_pos is None:
             media_locations = lang_x == c.media_token_id
             q_ids, kv_ids, out_keep = media_attention_ids(
                 media_locations, t_img, n_lat,

@@ -633,6 +633,13 @@ def main():
                    help="multiplex concurrent requests through one shared "
                         "decode step (slot pool) instead of serializing")
     p.add_argument("--num-slots", type=int, default=4)
+    p.add_argument("--prefill-chunk", type=int, default=0, metavar="C",
+                   help="continuous batching (otter family): split long "
+                        "prompt prefills into C-token cache-append steps "
+                        "interleaved with decode iterations, bounding "
+                        "every active stream's admission stall at one "
+                        "chunk instead of the whole prompt; 0 = one-shot "
+                        "prefill")
     p.add_argument("--cache-len", type=int, default=2048)
     p.add_argument("--cache-bit", default="bf16", choices=["bf16", "int8", "int4"],
                    help="int8 quantizes the KV cache (per-position max-abs"
@@ -718,7 +725,8 @@ def main():
         batcher = ContinuousBatcher(model, params, cfg,
                                     num_slots=args.num_slots,
                                     cache_len=args.cache_len,
-                                    cache_dtype=cache_dtype)
+                                    cache_dtype=cache_dtype,
+                                    prefill_chunk=args.prefill_chunk)
         stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg)
     else:
         engine = OtterGenerator(model, params, cfg,

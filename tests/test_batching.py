@@ -402,3 +402,86 @@ def test_async_admission_bookkeeping(rng):
         batcher.shutdown()
     for g, e in zip(got, expected):
         assert g[: len(e)] == e, (g, e)
+
+
+def test_chunked_prefill_matches_one_shot(rng):
+    """prefill_chunk splits admissions into cache-append steps interleaved
+    with decode iterations; tokens must be exactly the one-shot engine's.
+    One prompt has its <image> mid-prompt, so early chunks PRECEDE the
+    media token (exercises the full-prompt xattn-id slicing)."""
+    cfg, model, params, _, _ = _tiny(rng)
+    prompts = []
+    for s, media_pos in ((10, 0), (13, 5), (9, 0)):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, media_pos] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        prompts.append((vx, ids))
+
+    expected = [_reference_tokens(model, params, cfg, vx, ids, 6)
+                for vx, ids in prompts]
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=3,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32, prefill_chunk=4)
+    try:
+        # stagger: first request decodes while the others' chunked
+        # prefills interleave with its decode iterations
+        streams = [batcher.submit(*prompts[0],
+                                  gen=GenerationConfig(max_new_tokens=6))]
+        time.sleep(0.3)
+        streams += [batcher.submit(vx, ids,
+                                   GenerationConfig(max_new_tokens=6))
+                    for vx, ids in prompts[1:]]
+        got = [list(s) for s in streams]
+    finally:
+        batcher.shutdown()
+    for g, e in zip(got, expected):
+        assert g[: len(e)] == e, (g, e)
+
+
+def test_chunked_prefill_cache_bit_identical(rng):
+    """The assembled chunked local cache equals the one-shot prefill's
+    cache at every VALID (attendable) position. Pad positions legitimately
+    differ at layers >= 1: a pad row's layer-l k/v is a function of its
+    layer-(l-1) attention output, and the two paths mask pad QUERIES
+    differently (one-shot: eq-ids let pads attend pads; chunked: kv_valid
+    excludes pads). Those entries are kv_valid=False forever, so no real
+    token ever reads them — the end-to-end token test above is the
+    behavioral check."""
+    from otter_tpu.generation.batching import left_pad
+
+    cfg, model, params, vx, ids = _tiny(rng, s=13)
+    ids[:, 5] = cfg.media_token_id
+    gen = GenerationConfig()
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=1,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32, prefill_chunk=4)
+    try:
+        bucket = 16
+        padded, mask = left_pad(ids, None, target_len=bucket,
+                                pad_id=gen.pad_token_id)
+        ref_logits, ref_cache, lat = batcher._get_prefill(bucket)(
+            params, vx, jnp.asarray(padded), jnp.asarray(mask))
+
+        from otter_tpu.generation.engine import init_cache
+        cache = init_cache(cfg.text, 1, bucket, jnp.float32)
+        t_img, n_lat = lat.shape[1], lat.shape[2]
+        fn = batcher._get_chunk(bucket, t_img, n_lat)
+        last = None
+        for ci in range(bucket // 4):
+            cache, last = fn(params, cache, lat, jnp.asarray(padded),
+                             jnp.asarray(mask), jnp.int32(ci))
+        valid = np.asarray(mask[0], bool)          # [bucket]
+        for key in ref_cache:
+            got = np.asarray(cache[key])
+            want = np.asarray(ref_cache[key])
+            # cache arrays are [1, NL, hk, bucket(, d)]: position axis 3
+            np.testing.assert_allclose(
+                got[:, :, :, valid], want[:, :, :, valid],
+                atol=1e-5, rtol=1e-5, err_msg=key)
+        np.testing.assert_allclose(np.asarray(last),
+                                   np.asarray(ref_logits),
+                                   atol=1e-4, rtol=1e-4)
+    finally:
+        batcher.shutdown()
