@@ -165,9 +165,29 @@ class ContinuousBatcher:
         # duration (618 ms at OtterHD full-HD). prefill_chunk > 0 splits
         # eligible admissions (single-stream, bucket > chunk) into
         # chunk-sized cache-append steps interleaved with decode
-        # iterations — the per-stream decode stall is bounded by one
-        # chunk's time instead of the whole prompt's. The assembled cache
-        # is bit-identical to the one-shot prefill (tests/test_batching).
+        # iterations — ONE chunk (of one admission, round-robin) rides
+        # after each decode step, so the per-stream stall is bounded by
+        # one chunk's time regardless of how many admissions are in
+        # flight. The assembled cache is numerically equivalent to the
+        # one-shot prefill at every attendable position (1e-5,
+        # tests/test_batching; the two paths use different attention
+        # programs, so bf16 bit-exactness is NOT guaranteed).
+        if prefill_chunk:
+            eligible = [b for b in buckets
+                        if b > prefill_chunk and b % prefill_chunk == 0]
+            skipped = [b for b in buckets
+                       if b > prefill_chunk and b % prefill_chunk != 0]
+            if not eligible:
+                raise ValueError(
+                    f"prefill_chunk={prefill_chunk} divides none of the "
+                    f"buckets {buckets} — chunking would silently never "
+                    f"activate; pick a chunk that divides the long "
+                    f"buckets (e.g. a power of two)")
+            if skipped:
+                import warnings
+                warnings.warn(
+                    f"prefill_chunk={prefill_chunk}: buckets {skipped} "
+                    f"are not divisible and will use one-shot prefill")
         self.prefill_chunk = prefill_chunk
         self._chunk_tasks: List[dict] = []    # admissions mid-prefill
         self._ready_chunked: List[dict] = []  # all chunks dispatched
@@ -411,8 +431,14 @@ class ContinuousBatcher:
             self._ready_chunked.append(task)
 
     def _advance_chunked(self):
-        for task in list(self._chunk_tasks):
-            self._advance_task(task)
+        # ONE chunk per scheduler iteration, round-robin across in-flight
+        # admissions: advancing every task each iteration would stack K
+        # chunk programs between decode steps and the advertised
+        # one-chunk stall bound would scale with admission concurrency
+        if self._chunk_tasks:
+            self._advance_task(self._chunk_tasks[0])
+            if self._chunk_tasks:
+                self._chunk_tasks.append(self._chunk_tasks.pop(0))
 
     def _finalize_chunked(self):
         """Pooled-state half of a chunked admission (caller must have

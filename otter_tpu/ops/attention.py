@@ -19,8 +19,18 @@ from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
 # sequence-parallel routing state: a stack of (mesh, axis) pushed by the
 # `sequence_parallel` context manager (set by the train step while TRACING
 # its jitted step — the decision is baked into the traced graph, so the
-# context must wrap the first call that triggers tracing)
-_SEQ_PARALLEL = []
+# context must wrap the first call that triggers tracing). Thread-local:
+# a serving thread tracing a prefill must not see a trainer thread's ring
+# routing (and vice versa).
+import threading
+
+
+class _SeqParallelState(threading.local):
+    def __init__(self):
+        self.stack = []
+
+
+_SEQ_PARALLEL = _SeqParallelState()
 
 
 @contextlib.contextmanager
@@ -35,22 +45,30 @@ def sequence_parallel(mesh, axis: str = "seq"):
     if mesh.shape.get(axis, 1) <= 1:
         yield
         return
-    _SEQ_PARALLEL.append((mesh, axis))
+    _SEQ_PARALLEL.stack.append((mesh, axis))
     try:
         yield
     finally:
-        _SEQ_PARALLEL.pop()
+        _SEQ_PARALLEL.stack.pop()
 
 
 def _maybe_ring(q, k, v, bias, q_ids, kv_ids, ids_mode, causal, sm_scale):
     """The ring path when the sequence_parallel context applies, else None."""
-    if not _SEQ_PARALLEL or not causal:
+    if not _SEQ_PARALLEL.stack or not causal:
         return None
-    mesh, axis = _SEQ_PARALLEL[-1]
+    mesh, axis = _SEQ_PARALLEL.stack[-1]
     n = mesh.shape[axis]
     s_q, s_k = q.shape[2], k.shape[2]
-    if s_q != s_k or s_q <= 1 or s_q % n != 0:
+    if s_q != s_k or s_q <= 1:
         return None
+    if s_q % n != 0:
+        # silent fallthrough here would run FULL attention on
+        # seq-sharded activations — the exact O(S²) footprint (plus a
+        # GSPMD KV all-gather) sp exists to avoid, with no diagnostic
+        raise ValueError(
+            f"sequence_parallel: sequence length {s_q} is not divisible "
+            f"by the '{axis}' mesh axis ({n}); pad the sequence to a "
+            f"multiple of sp or lower --sp")
     if bias is not None and not (bias.ndim == 4 and bias.shape[2] == 1):
         return None
     from otter_tpu.ops.ring_attention import ring_attention
@@ -87,15 +105,19 @@ def multi_head_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     impl = impl or _default_impl()
-    h, h_kv = q.shape[1], k.shape[1]
-    if h_kv != h:  # MQA/GQA: replicate kv heads (falcon multiquery)
-        k = jnp.repeat(k, h // h_kv, axis=1)
-        v = jnp.repeat(v, h // h_kv, axis=1)
-
+    # ring first, BEFORE the MQA/GQA head broadcast: the ring rotates and
+    # carries the model's actual kv heads (broadcast happens inside its
+    # remat'd local block), h/h_kv times less ICI traffic and residual
+    # memory for multiquery models
     ring = _maybe_ring(q, k, v, bias, q_ids, kv_ids, ids_mode, causal,
                        sm_scale)
     if ring is not None:
         return ring
+
+    h, h_kv = q.shape[1], k.shape[1]
+    if h_kv != h:  # MQA/GQA: replicate kv heads (falcon multiquery)
+        k = jnp.repeat(k, h // h_kv, axis=1)
+        v = jnp.repeat(v, h // h_kv, axis=1)
 
     if impl == "pallas":
         return fa.flash_attention(

@@ -37,8 +37,14 @@ def _local_attention_stats(q, k, v, q_offset, kv_offset, *, causal,
                            sm_scale, bias=None, q_ids=None, kv_ids=None,
                            ids_mode="eq", mask_value=DEFAULT_MASK_VALUE):
     """Block attention returning (out_unnormalized, m, l) for online
-    combination. q [B,H,Sq,D], k/v [B,H,Sk,D]; offsets are the global
+    combination. q [B,H,Sq,D], k/v [B,H_kv,Sk,D] (MQA/GQA kv heads are
+    broadcast here, inside the remat, so the ring rotates and the scan
+    carries only the model's actual H_kv heads); offsets are the global
     positions of the first row/col. bias [B|1,H|1,1,Sk] column-form."""
+    h, h_kv = q.shape[1], k.shape[1]
+    if h_kv != h:
+        k = jnp.repeat(k, h // h_kv, axis=1)
+        v = jnp.repeat(v, h // h_kv, axis=1)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * sm_scale
     if bias is not None:
@@ -110,10 +116,13 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bspec = dim(b, batch_axes)
     tsize = mesh.shape.get(TENSOR_AXIS, 1)
     hspec = dim(h, TENSOR_AXIS) if tsize > 1 else None
+    h_kv = k.shape[1]
+    kv_hspec = dim(h_kv, TENSOR_AXIS) if tsize > 1 else None
 
     qkv_spec = P(bspec, hspec, axis, None)
+    kv_spec = P(bspec, kv_hspec, axis, None)
     operands = [q, k, v]
-    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    in_specs = [qkv_spec, kv_spec, kv_spec]
     if has_bias:
         operands.append(bias)
         in_specs.append(P(dim(bias.shape[0], batch_axes),
@@ -138,40 +147,47 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # this, AD through the scan persists every block's [B,H,Sq,Sk]
         # probability matrix — O(S²/n) per device per layer, the exact
         # quadratic footprint sequence parallelism exists to avoid. With
-        # it, the scan residuals are just the rotated KV blocks (held
-        # anyway) and the O(S·D) carries.
+        # it, the residuals are the rotated KV blocks and O(S·D) carries.
+        # (The scan still saves each step's rotated KV pair, i.e. the
+        # full global KV of ONE layer while that layer's backward runs —
+        # a per-layer transient under the trainers' per-layer remat. A
+        # two-pass custom VJP that re-rotates KV in backward would cut
+        # it to O(S·D/N); scheduled, not yet needed at validated scales.)
         local_stats = jax.checkpoint(
             lambda q_, k_, v_, kv_off, b_, ki_: _local_attention_stats(
                 q_, k_, v_, q_off, kv_off, causal=causal, sm_scale=scale,
                 bias=b_, q_ids=qid_l, kv_ids=ki_, ids_mode=ids_mode))
 
-        def step(carry, i):
-            k_blk, v_blk, bias_blk, kid_blk, acc, m, l = carry
-            src = (idx - i) % n          # which shard this block came from
-            kv_off = src * chunk
-            out_b, m_b, l_b = local_stats(q_l, k_blk, v_blk, kv_off,
-                                          bias_blk, kid_blk)
+        def merge(acc, m, l, out_b, m_b, l_b):
             m_new = jnp.maximum(m, m_b)
             alpha = jnp.exp(m - m_new)
             beta = jnp.exp(m_b - m_new)
-            acc = acc * alpha + out_b * beta
-            l = l * alpha + l_b * beta
-            m = m_new
+            return (acc * alpha + out_b * beta, m_new,
+                    l * alpha + l_b * beta)
+
+        # own (diagonal) block first, then N-1 rotate-then-compute steps:
+        # no dead final rotation, and the online stats start from real
+        # values (no -inf bootstrap carry)
+        acc, m, l = local_stats(q_l, k_l, v_l, q_off, bias_l, kid_l)
+
+        def step(carry, i):
+            k_blk, v_blk, bias_blk, kid_blk, acc, m, l = carry
             k_blk = jax.lax.ppermute(k_blk, axis, perm)
             v_blk = jax.lax.ppermute(v_blk, axis, perm)
             if bias_blk is not None:
                 bias_blk = jax.lax.ppermute(bias_blk, axis, perm)
             if kid_blk is not None:
                 kid_blk = jax.lax.ppermute(kid_blk, axis, perm)
+            src = (idx - i) % n          # which shard this block came from
+            kv_off = src * chunk
+            out_b, m_b, l_b = local_stats(q_l, k_blk, v_blk, kv_off,
+                                          bias_blk, kid_blk)
+            acc, m, l = merge(acc, m, l, out_b, m_b, l_b)
             return (k_blk, v_blk, bias_blk, kid_blk, acc, m, l), None
 
-        # derive init carries from q_l so shard_map marks them as varying
-        # over the ring axis (scan requires carry types to match exactly)
-        acc0 = q_l.astype(jnp.float32) * 0.0
-        m0 = acc0[..., :1] - jnp.inf
-        l0 = acc0[..., :1]
         (_, _, _, _, acc, m, l), _ = jax.lax.scan(
-            step, (k_l, v_l, bias_l, kid_l, acc0, m0, l0), jnp.arange(n))
+            step, (k_l, v_l, bias_l, kid_l, acc, m, l),
+            jnp.arange(1, n))
         l = jnp.where(l == 0.0, 1.0, l)
         return (acc / l).astype(q_l.dtype)
 

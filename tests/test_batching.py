@@ -440,9 +440,10 @@ def test_chunked_prefill_matches_one_shot(rng):
         assert g[: len(e)] == e, (g, e)
 
 
-def test_chunked_prefill_cache_bit_identical(rng):
-    """The assembled chunked local cache equals the one-shot prefill's
-    cache at every VALID (attendable) position. Pad positions legitimately
+def test_chunked_prefill_cache_equivalent(rng):
+    """The assembled chunked local cache matches the one-shot prefill's
+    cache (1e-5) at every VALID (attendable) position — the paths run
+    different attention programs, so bf16 bit-exactness is not claimed. Pad positions legitimately
     differ at layers >= 1: a pad row's layer-l k/v is a function of its
     layer-(l-1) attention output, and the two paths mask pad QUERIES
     differently (one-shot: eq-ids let pads attend pads; chunked: kv_valid
