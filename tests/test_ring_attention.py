@@ -70,3 +70,51 @@ def test_ring_column_bias_and_ids(rng):
     ref = mha_reference(q, k, v, bias=bias, mask=(qi == ki), causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("hkv", [4, 1])
+def test_ring_custom_vjp_grads_match_full(rng, hkv):
+    """The two-pass custom VJP (dq local, dk/dv riding the ring home)
+    must match plain autodiff of full attention — with ALiBi column bias,
+    padding ids, and MQA (hkv=1: kv blocks rotate unbroadcast)."""
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=1, sp=4, tp=1),
+                       jax.devices()[:4])
+    b, h, s, d = 2, 4, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
+    slopes = jnp.asarray([0.5 ** (i + 1) for i in range(h)], jnp.float32)
+    rel = jnp.arange(1 - s, 1, dtype=jnp.float32)
+    bias = rel[None, None, None, :] * slopes[None, :, None, None]
+    ids = np.ones((b, s), np.int32)
+    ids[0, -7:] = 0
+    ids = jnp.asarray(ids)
+    cot = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+
+    def ring_loss(q, k, v, bias, mode):
+        out = ring_attention(q, k, v, mesh=mesh, causal=True, bias=bias,
+                             q_ids=ids, kv_ids=ids, ids_mode="eq",
+                             grad_mode=mode)
+        return jnp.sum(out * cot)
+
+    def full_loss(q, k, v, bias):
+        qi = ids[:, None, :, None]
+        ki = ids[:, None, None, :]
+        out = mha_reference(q, k, v, bias=bias, mask=(qi == ki),
+                            causal=True)
+        return jnp.sum(out * cot)
+
+    g_ring = jax.jit(jax.grad(lambda *a: ring_loss(*a, "ring"),
+                              argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    g_full = jax.jit(jax.grad(full_loss, argnums=(0, 1, 2, 3)))(
+        q, k, v, bias)
+    for gr, gf, name in zip(g_ring, g_full, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
+
+    # and the AD-through-scan path agrees too (A/B reference)
+    g_ad = jax.jit(jax.grad(lambda *a: ring_loss(*a, "ad"),
+                            argnums=(0, 1, 2)))(q, k, v, bias)
+    for gr, ga, name in zip(g_ring[:3], g_ad, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(ga),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
