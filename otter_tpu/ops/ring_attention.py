@@ -177,14 +177,26 @@ def _ring_fwd_pass(cfg: _RingConfig, q, k, v, bias, q_ids, kv_ids):
             k_blk, v_blk, bias_blk, kid_blk = _rotate(
                 axis, perm, k_blk, v_blk, bias_blk, kid_blk)
             src = (idx - i) % n        # which shard this block came from
-            out_b, m_b, l_b = stats(k_blk, v_blk, bias_blk, kid_blk,
-                                    src * chunk)
-            m_new = jnp.maximum(m, m_b)
-            alpha = jnp.exp(m - m_new)
-            beta = jnp.exp(m_b - m_new)
-            acc = acc * alpha + out_b * beta
-            l = l * alpha + l_b * beta
-            return (k_blk, v_blk, bias_blk, kid_blk, acc, m_new, l), None
+
+            def compute(_):
+                out_b, m_b, l_b = stats(k_blk, v_blk, bias_blk, kid_blk,
+                                        src * chunk)
+                m_new = jnp.maximum(m, m_b)
+                alpha = jnp.exp(m - m_new)
+                beta = jnp.exp(m_b - m_new)
+                return (acc * alpha + out_b * beta, m_new,
+                        l * alpha + l_b * beta)
+
+            if cfg.causal:
+                # blocks strictly above the diagonal (src > idx) are
+                # fully masked under causality: skip their compute.
+                # Per-device cond divergence is safe — the branches hold
+                # no collectives, only the carried rotation does
+                acc, m, l = jax.lax.cond(
+                    src > idx, lambda _: (acc, m, l), compute, None)
+            else:
+                acc, m, l = compute(None)
+            return (k_blk, v_blk, bias_blk, kid_blk, acc, m, l), None
 
         (_, _, _, _, acc, m, l), _ = jax.lax.scan(
             step, (k_l, v_l, bias_l, kid_l, acc, m, l), jnp.arange(1, n))
@@ -279,13 +291,21 @@ def _ring_vjp_bwd(cfg, res, g):
                 axis, perm, k_blk, v_blk, bias_blk, kid_blk, dk_a, dv_a,
                 db_a)
             src = (idx - i) % n
-            dq_b, dk_b, dv_b, db_b = block_grads(
-                k_blk, v_blk, bias_blk, kid_blk, src * chunk)
-            dq = dq + dq_b
-            dk_a = dk_a + dk_b
-            dv_a = dv_a + dv_b
-            if db_a is not None:
-                db_a = db_a + db_b
+
+            def compute(_):
+                dq_b, dk_b, dv_b, db_b = block_grads(
+                    k_blk, v_blk, bias_blk, kid_blk, src * chunk)
+                return (dq + dq_b, dk_a + dk_b, dv_a + dv_b,
+                        None if db_a is None else db_a + db_b)
+
+            if cfg.causal:
+                # fully-masked above-diagonal blocks contribute zero
+                # gradient: skip them (branches hold no collectives)
+                dq, dk_a, dv_a, db_a = jax.lax.cond(
+                    src > idx, lambda _: (dq, dk_a, dv_a, db_a),
+                    compute, None)
+            else:
+                dq, dk_a, dv_a, db_a = compute(None)
             return (k_blk, v_blk, bias_blk, kid_blk, dk_a, dv_a, db_a,
                     dq), None
 
