@@ -698,3 +698,53 @@ def test_spec_session_stream_fn_composes():
                                  {"max_new_tokens": 4,
                                   "no_repeat_ngram_size": 2}}))[-1]
     assert list(stream_fn(req_n))[-1] == free_n
+
+
+def test_batched_stream_fn_with_chunked_prefill_matches_engine():
+    """make_batched_stream_fn over a ContinuousBatcher with
+    --prefill-chunk: the worker's continuous-batching bridge streams
+    exactly the single-stream engine's text, chunked admission included."""
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from otter_tpu.config import OtterConfig
+    from otter_tpu.generation.batching import ContinuousBatcher
+    from otter_tpu.generation.engine import OtterGenerator
+    from otter_tpu.models.otter import OtterVLM
+    from otter_tpu.serve.worker import (make_batched_stream_fn,
+                                        make_otter_stream_fn)
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TinyTokenizer
+
+    cfg = OtterConfig.tiny("mpt")
+    model = OtterVLM(cfg, dtype=jnp.float32)
+    vx = jnp.zeros((1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = np.asarray([[253, 5, 6]], np.int32)
+    params = model.init(jax.random.PRNGKey(0), vx, jnp.asarray(ids))
+    tok = TinyTokenizer()
+
+    engine = OtterGenerator(model, params, cfg, cache_dtype=jnp.float32)
+    plain_fn = make_otter_stream_fn(engine, tok, cfg)
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32, prefill_chunk=4)
+    try:
+        batched_fn = make_batched_stream_fn(batcher, tok, cfg)
+        img = Image.fromarray(np.zeros((28, 28, 3), np.uint8))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+        req = {"prompt": "<image>User: one two three GPT:<answer>",
+               "images": [b64],
+               "generation_kwargs": {"max_new_tokens": 5}}
+        got = list(batched_fn(req))[-1]
+        want = list(plain_fn(req))[-1]
+        assert got == want, (got, want)
+    finally:
+        batcher.shutdown()
