@@ -38,7 +38,13 @@ from otter_tpu.parallel.sharding import param_shardings
 from otter_tpu.train.step import (TrainState, make_optimizer,
                                   make_train_step, split_params)
 
-pcfg = ParallelConfig(dp=2, fsdp=2, tp=2)
+# OTTER_SP=1: seq axis spans the two processes (dp=1 fsdp=1 sp=2 tp=4
+# over [proc0: d0-3 | proc1: d4-7]) — the ring attention ppermutes cross
+# the process boundary (DCN-style), the case no single-process mesh can
+# exercise
+sp = os.environ.get("OTTER_SP") == "1"
+pcfg = (ParallelConfig(dp=1, fsdp=1, sp=2, tp=4) if sp
+        else ParallelConfig(dp=2, fsdp=2, tp=2))
 mesh = create_mesh(pcfg, jax.devices())
 
 cfg = OtterConfig.tiny("mpt")
@@ -75,7 +81,8 @@ with mesh:
     trainable, _ = split_params(params, cfg)
     tx = make_optimizer(trainable, lr=1e-3, total_steps=10)
     state = TrainState.create(params, cfg, tx)
-    step = jax.jit(make_train_step(model, cfg, tx))
+    step = jax.jit(make_train_step(model, cfg, tx,
+                                   mesh=mesh if sp else None))
     state, metrics = step(state, batch)
     loss = float(metrics["loss"])
 print(f"MULTIHOST_OK pid={pid} loss={loss:.6f}", flush=True)
@@ -91,7 +98,9 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_sharded_train_step(tmp_path):
+@pytest.mark.parametrize("sp", [False, True],
+                         ids=["dp2xfsdp2xtp2", "sp2xtp4-cross-process-ring"])
+def test_two_process_sharded_train_step(tmp_path, sp):
     driver = tmp_path / "driver.py"
     driver.write_text(DRIVER)
     port = _free_port()
@@ -99,6 +108,7 @@ def test_two_process_sharded_train_step(tmp_path):
     for rank in range(2):
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
+        env["OTTER_SP"] = "1" if sp else "0"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=4"
                             ).strip()
