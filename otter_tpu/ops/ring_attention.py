@@ -125,6 +125,11 @@ def _build_specs(cfg: _RingConfig, q, k, bias, q_ids):
     tsize = mesh.shape.get(TENSOR_AXIS, 1)
     hspec = dim(q.shape[1], TENSOR_AXIS) if tsize > 1 else None
     kv_hspec = dim(k.shape[1], TENSOR_AXIS) if tsize > 1 else None
+    # heads shard JOINTLY or not at all: q heads sharded while kv heads
+    # stay replicated (tp not dividing h_kv) would pair each device's
+    # local q heads with the wrong kv heads — silent garbage attention
+    if (hspec is None) != (kv_hspec is None):
+        hspec = kv_hspec = None
     specs = {
         "q": P(bspec, hspec, axis, None),
         "kv": P(bspec, kv_hspec, axis, None),
@@ -132,9 +137,12 @@ def _build_specs(cfg: _RingConfig, q, k, bias, q_ids):
         "bias": None, "ids": None,
     }
     if bias is not None:
+        # bias heads follow the q-head layout (sharded only when q heads
+        # are, and the bias head count divides) — a bias sharded against
+        # replicated q heads would mispair the same way
         specs["bias"] = P(dim(bias.shape[0], batch_axes),
                           dim(bias.shape[1], TENSOR_AXIS)
-                          if tsize > 1 else None, None, axis)
+                          if hspec is not None else None, None, axis)
     if q_ids is not None:
         specs["ids"] = P(dim(q_ids.shape[0], batch_axes), axis)
     return specs
@@ -234,8 +242,6 @@ def _ring_vjp_bwd(cfg, res, g):
     chunk = q.shape[2] // n
     specs = _build_specs(cfg, q, k, bias, q_ids)
     perm = _ring_perm(n)
-    h, h_kv = q.shape[1], k.shape[1]
-    grp = h // h_kv
 
     def local_fn(q_l, k_l, v_l, bias_l, qid_l, kid_l, o_l, do_l, lse_l):
         idx = jax.lax.axis_index(axis)
@@ -243,6 +249,12 @@ def _ring_vjp_bwd(cfg, res, g):
         do32 = do_l.astype(jnp.float32)
         delta = jnp.sum(do32 * o_l.astype(jnp.float32), -1,
                         keepdims=True)                    # [B,H,Sq,1]
+        # head-group math from LOCAL (per-shard) shapes: _build_specs
+        # guarantees q and kv heads shard jointly or not at all, so the
+        # local ratio equals the global one — using global h/h_kv here
+        # breaks under tp (heads halve locally, the ratio doesn't)
+        h_loc, hkv_loc = q_l.shape[1], k_l.shape[1]
+        grp = h_loc // hkv_loc
 
         def block_grads(k_blk, v_blk, bias_blk, kid_blk, kv_off):
             logits = _block_logits(
@@ -266,16 +278,18 @@ def _ring_vjp_bwd(cfg, res, g):
                 if grp == 1:
                     return x
                 b_, _, sk, d_ = x.shape
-                return x.reshape(b_, h_kv, grp, sk, d_).sum(2)
+                return x.reshape(b_, hkv_loc, grp, sk, d_).sum(2)
 
             db_b = None
             if bias_blk is not None:
                 db_b = jnp.sum(dlog, axis=2, keepdims=True)  # [B,H,1,Sk]
                 if bias_blk.shape[1] == 1:
                     db_b = jnp.sum(db_b, axis=1, keepdims=True)
-                elif bias_blk.shape[1] == h_kv and grp > 1:
-                    db_b = db_b.reshape(db_b.shape[0], h_kv, grp, 1,
-                                        -1).sum(2)
+                elif bias_blk.shape[1] != h_loc:
+                    # kv-head-width bias: fold each query-head group
+                    assert bias_blk.shape[1] == hkv_loc and grp > 1
+                    db_b = db_b.reshape(db_b.shape[0], hkv_loc, grp, 1,
+                                        db_b.shape[-1]).sum(2)
                 if bias_blk.shape[0] == 1:
                     db_b = jnp.sum(db_b, axis=0, keepdims=True)
             return dq_b, to_kv_heads(dk_full), to_kv_heads(dv_full), db_b
@@ -450,4 +464,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       ids_mode=ids_mode)
     if grad_mode == "ad":
         return _ring_ad(cfg, q, k, v, bias, q_ids, kv_ids)
+    if grad_mode != "ring":
+        raise ValueError(f"unknown grad_mode {grad_mode!r} "
+                         "(expected 'ring' or 'ad')")
     return _ring_vjp(cfg, q, k, v, bias, q_ids, kv_ids)

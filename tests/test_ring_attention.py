@@ -72,14 +72,22 @@ def test_ring_column_bias_and_ids(rng):
                                atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("hkv", [4, 1])
-def test_ring_custom_vjp_grads_match_full(rng, hkv):
+@pytest.mark.parametrize("h,hkv,sp,tp", [
+    (4, 4, 4, 1),   # MHA, sp only
+    (4, 1, 4, 1),   # MQA, sp only
+    (4, 4, 2, 2),   # MHA under tensor-sharded heads
+    (4, 1, 2, 2),   # MQA under tp: joint rule replicates both head dims
+    (8, 2, 2, 2),   # GQA under tp: both head dims shard (8/2, 2/2)
+    (8, 2, 2, 4),   # GQA, tp=4: kv heads can't shard -> joint replicate
+])
+def test_ring_custom_vjp_grads_match_full(rng, h, hkv, sp, tp):
     """The two-pass custom VJP (dq local, dk/dv riding the ring home)
     must match plain autodiff of full attention — with ALiBi column bias,
-    padding ids, and MQA (hkv=1: kv blocks rotate unbroadcast)."""
-    mesh = create_mesh(ParallelConfig(dp=1, fsdp=1, sp=4, tp=1),
-                       jax.devices()[:4])
-    b, h, s, d = 2, 4, 64, 16
+    padding ids, MQA/GQA, and tensor-sharded heads (the psum and
+    joint-head-sharding cases)."""
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=1, sp=sp, tp=tp),
+                       jax.devices()[:sp * tp])
+    b, s, d = 2, 64, 16
     q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, hkv, s, d)), jnp.float32)
@@ -103,6 +111,18 @@ def test_ring_custom_vjp_grads_match_full(rng, hkv):
         out = mha_reference(q, k, v, bias=bias, mask=(qi == ki),
                             causal=True)
         return jnp.sum(out * cot)
+
+    # forward parity first (the GQA-under-tp head-pairing regression:
+    # q heads sharded against replicated kv heads silently mispaired)
+    out_ring = jax.jit(lambda *a: ring_attention(
+        *a[:3], mesh=mesh, causal=True, bias=a[3], q_ids=ids, kv_ids=ids,
+        ids_mode="eq"))(q, k, v, bias)
+    qi = ids[:, None, :, None]
+    ki = ids[:, None, None, :]
+    out_full = mha_reference(q, k, v, bias=bias, mask=(qi == ki),
+                             causal=True)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
+                               atol=2e-5, rtol=2e-5)
 
     g_ring = jax.jit(jax.grad(lambda *a: ring_loss(*a, "ring"),
                               argnums=(0, 1, 2, 3)))(q, k, v, bias)
