@@ -779,12 +779,18 @@ def flash_attention(
     block_sizes: Optional[BlockSizes] = None,
     mask_value: float = DEFAULT_MASK_VALUE,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Fused multi-head attention. Pads S_q/S_k/D to TPU-friendly sizes,
     launches the Pallas kernels, and slices the result back.
 
     When padding S_k on a non-causal call, kv ids are synthesized so padded
     keys are masked (PAD_ID never matches under "eq"/"ge").
+
+    return_lse=True returns (out, lse [B,H,S_q] natural-log) and skips the
+    custom-VJP wrapper — this path is NOT differentiable; it exists for
+    callers that own their backward (ring attention's two-pass VJP merges
+    normalized per-block outputs by their lse).
     """
     batch, heads, s_q, d = q.shape
     s_k = k.shape[2]
@@ -836,7 +842,16 @@ def flash_attention(
         kidp = jnp.broadcast_to(kidp[:, None, :],
                                 (batch, NUM_SUBLANES, s_k_pad))
 
-    fa = _make_flash_attention(causal, float(sm_scale), ids_mode, block_sizes,
+    if return_lse:
+        o, lse = _fwd(qp, kp, vp, bp, qidp, kidp, causal=causal,
+                      sm_scale=float(sm_scale), ids_mode=ids_mode,
+                      block_sizes=block_sizes,
+                      mask_value=float(mask_value), interpret=interpret)
+        # kernel lse is lane-replicated [B,H,S,128]; lane 0 is the value
+        return o[:, :, :s_q, :d], lse[:, :, :s_q, 0]
+
+    fa = _make_flash_attention(causal, float(sm_scale), ids_mode,
+                               block_sizes,
                                float(mask_value), interpret)
     # biases/ids are non-trainable inputs
     if bp is not None:

@@ -157,65 +157,104 @@ def _rotate(axis, perm, *xs):
                  for x in xs)
 
 
+def _ring_local_impl() -> str:
+    """Local-block backend: the Pallas flash kernel on TPU (keeps the
+    O(chunk²) logits in VMEM), jnp einsum elsewhere. OTTER_RING_IMPL
+    forces either ("pallas" | "einsum")."""
+    import os
+    forced = os.environ.get("OTTER_RING_IMPL")
+    if forced:
+        return forced
+    return "pallas" if jax.default_backend() == "tpu" else "einsum"
+
+
 def _ring_fwd_pass(cfg: _RingConfig, q, k, v, bias, q_ids, kv_ids):
-    """Forward ring: returns (out, lse), both sharded along `axis`."""
+    """Forward ring: returns (out, lse), both sharded along `axis`.
+
+    Each local block yields its NORMALIZED output + lse; blocks merge by
+    lse weights (out_a·e^{lse_a−lse} + out_b·e^{lse_b−lse}). This form
+    lets the diagonal block run the Pallas flash kernel with causal=True
+    and every off-diagonal block with causal=False — the own-block-first
+    loop structure makes `causal` static per call site."""
     mesh, axis = cfg.mesh, cfg.axis
     n = mesh.shape[axis]
     chunk = q.shape[2] // n
     specs = _build_specs(cfg, q, k, bias, q_ids)
     perm = _ring_perm(n)
+    use_kernel = _ring_local_impl() == "pallas"
+    interp = jax.default_backend() != "tpu"
 
     def local_fn(q_l, k_l, v_l, bias_l, qid_l, kid_l):
         idx = jax.lax.axis_index(axis)
         q_off = idx * chunk
 
-        def stats(k_blk, v_blk, bias_blk, kid_blk, kv_off):
-            return _local_attention_stats(
+        def block(k_blk, v_blk, bias_blk, kid_blk, kv_off, diag):
+            """-> (normalized out f32, lse [B,H,Sq,1] f32)."""
+            if use_kernel:
+                from otter_tpu.ops import flash_attention as fa
+                h_loc, hkv_loc = q_l.shape[1], k_blk.shape[1]
+                kf, vf = k_blk, v_blk
+                if hkv_loc != h_loc:
+                    kf = jnp.repeat(kf, h_loc // hkv_loc, axis=1)
+                    vf = jnp.repeat(vf, h_loc // hkv_loc, axis=1)
+                o_b, lse_b = fa.flash_attention(
+                    q_l, kf, vf, bias=bias_blk, q_ids=qid_l,
+                    kv_ids=kid_blk, ids_mode=cfg.ids_mode,
+                    causal=diag and cfg.causal, sm_scale=cfg.scale,
+                    interpret=interp, return_lse=True)
+                return o_b.astype(jnp.float32), lse_b[..., None]
+            out, m, l = _local_attention_stats(
                 q_l, k_blk, v_blk, q_off, kv_off, causal=cfg.causal,
                 sm_scale=cfg.scale, bias=bias_blk, q_ids=qid_l,
                 kv_ids=kid_blk, ids_mode=cfg.ids_mode)
+            l = jnp.where(l == 0.0, 1.0, l)
+            return out / l, m + jnp.log(l)
+
+        def merge(o_a, lse_a, o_b, lse_b):
+            lse = jnp.logaddexp(lse_a, lse_b)
+            return (o_a * jnp.exp(lse_a - lse)
+                    + o_b * jnp.exp(lse_b - lse), lse)
 
         # own (diagonal) block first, then N-1 rotate-then-compute steps:
-        # no dead final rotation, and the online stats start from real
-        # values (no -inf bootstrap carry)
-        acc, m, l = stats(k_l, v_l, bias_l, kid_l, q_off)
+        # no dead final rotation, and the merge starts from real values
+        acc, lse = block(k_l, v_l, bias_l, kid_l, q_off, diag=True)
 
         def step(carry, i):
-            k_blk, v_blk, bias_blk, kid_blk, acc, m, l = carry
+            k_blk, v_blk, bias_blk, kid_blk, acc, lse = carry
             k_blk, v_blk, bias_blk, kid_blk = _rotate(
                 axis, perm, k_blk, v_blk, bias_blk, kid_blk)
             src = (idx - i) % n        # which shard this block came from
 
             def compute(_):
-                out_b, m_b, l_b = stats(k_blk, v_blk, bias_blk, kid_blk,
-                                        src * chunk)
-                m_new = jnp.maximum(m, m_b)
-                alpha = jnp.exp(m - m_new)
-                beta = jnp.exp(m_b - m_new)
-                return (acc * alpha + out_b * beta, m_new,
-                        l * alpha + l_b * beta)
+                o_b, lse_b = block(k_blk, v_blk, bias_blk, kid_blk,
+                                   src * chunk, diag=False)
+                return merge(acc, lse, o_b, lse_b)
 
             if cfg.causal:
                 # blocks strictly above the diagonal (src > idx) are
                 # fully masked under causality: skip their compute.
                 # Per-device cond divergence is safe — the branches hold
                 # no collectives, only the carried rotation does
-                acc, m, l = jax.lax.cond(
-                    src > idx, lambda _: (acc, m, l), compute, None)
+                acc, lse = jax.lax.cond(
+                    src > idx, lambda _: (acc, lse), compute, None)
             else:
-                acc, m, l = compute(None)
-            return (k_blk, v_blk, bias_blk, kid_blk, acc, m, l), None
+                acc, lse = compute(None)
+            return (k_blk, v_blk, bias_blk, kid_blk, acc, lse), None
 
-        (_, _, _, _, acc, m, l), _ = jax.lax.scan(
-            step, (k_l, v_l, bias_l, kid_l, acc, m, l), jnp.arange(1, n))
-        l = jnp.where(l == 0.0, 1.0, l)
-        lse = m + jnp.log(l)                       # [B,H,Sq,1] f32
-        return (acc / l).astype(q_l.dtype), lse
+        (_, _, _, _, acc, lse), _ = jax.lax.scan(
+            step, (k_l, v_l, bias_l, kid_l, acc, lse), jnp.arange(1, n))
+        return acc.astype(q_l.dtype), lse
 
     in_specs = (specs["q"], specs["kv"], specs["kv"],
                 specs["bias"], specs["ids"], specs["ids"])
+    # check_vma=False: pallas_call emits ShapeDtypeStructs without vma
+    # annotations, which the varying-across-mesh checker rejects inside
+    # shard_map. The backward shard_map keeps the checker (it caught the
+    # broadcast-dim psum bug); the forward's specs are exercised by the
+    # dp x fsdp x sp x tp parity tests
     return jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=(specs["q"], specs["lse"]))(
+                         out_specs=(specs["q"], specs["lse"]),
+                         check_vma=not use_kernel)(
         q, k, v, bias, q_ids, kv_ids)
 
 

@@ -138,3 +138,37 @@ def test_ring_custom_vjp_grads_match_full(rng, h, hkv, sp, tp):
     for gr, ga, name in zip(g_ring[:3], g_ad, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(ga),
                                    atol=3e-4, rtol=3e-4, err_msg=name)
+
+
+def test_ring_kernel_local_block_matches_einsum(rng, monkeypatch):
+    """OTTER_RING_IMPL=pallas routes each local block through the flash
+    kernel (interpret mode here): forward and custom-VJP grads must match
+    the einsum local block exactly."""
+    mesh = create_mesh(ParallelConfig(dp=1, fsdp=1, sp=4, tp=1),
+                       jax.devices()[:4])
+    b, h, s, d = 1, 2, 64, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+               for _ in range(3))
+    ids = np.ones((b, s), np.int32)
+    ids[0, -9:] = 0
+    ids = jnp.asarray(ids)
+    cot = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+
+    def loss(q, k, v):
+        out = ring_attention(q, k, v, mesh=mesh, causal=True,
+                             q_ids=ids, kv_ids=ids, ids_mode="eq")
+        return jnp.sum(out * cot), out
+
+    results = {}
+    for impl in ("einsum", "pallas"):
+        monkeypatch.setenv("OTTER_RING_IMPL", impl)
+        (_, out), grads = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                             has_aux=True)(q, k, v)
+        results[impl] = (out, grads)
+    out_e, g_e = results["einsum"]
+    out_p, g_p = results["pallas"]
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_e),
+                               atol=2e-5, rtol=2e-5)
+    for a, b_, name in zip(g_p, g_e, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=3e-4, err_msg=name)
