@@ -196,13 +196,18 @@ class SelfAttention(nn.Module):
                 dst = cache[key]
                 val = val.astype(dst.dtype)
                 if getattr(pos, "ndim", 0) == 1:
-                    rows = jnp.arange(b)
-                    if val.ndim == 4:    # [B,hk,1,D] values
-                        upd[key] = dst.at[rows, layer, :, pos, :].set(
-                            val[:, :, 0, :])
-                    else:                # [B,hk,1] scales
-                        upd[key] = dst.at[rows, layer, :, pos].set(
-                            val[:, :, 0])
+                    # per-row offsets, S >= 1 (the continuous batcher's
+                    # decode step and its speculative verify windows):
+                    # scatter row r's S positions at pos[r]..pos[r]+S-1
+                    S = val.shape[2]
+                    rows = jnp.arange(b)[:, None]
+                    cols = pos[:, None] + jnp.arange(S)[None, :]
+                    if val.ndim == 4:    # [B,hk,S,D] values
+                        upd[key] = dst.at[rows, layer, :, cols, :].set(
+                            val.transpose(0, 2, 1, 3))
+                    else:                # [B,hk,S] scales
+                        upd[key] = dst.at[rows, layer, :, cols].set(
+                            val.transpose(0, 2, 1))
                 else:
                     idx = (0, layer, 0, pos, 0)[:val.ndim + 1]
                     upd[key] = jax.lax.dynamic_update_slice(
@@ -216,8 +221,6 @@ class SelfAttention(nn.Module):
             # engine) or a [B] vector (per-row offsets — the
             # continuous-batching engine, where each slot has its own
             # length).
-            if getattr(cache_pos, "ndim", 0) == 1:
-                assert s == 1, "per-row cache_pos requires q_len == 1"
             new_cache = write_cache(cache, k, v, cache_pos)
             main = new_cache["kv" if int4_cache else "k"]
             if self._use_decode_kernel(main) and s == 1 \
@@ -640,13 +643,23 @@ class Decoder(nn.Module):
                 rel = jnp.arange(1 - s, 1, dtype=jnp.int32)
                 bias = rel[None, None, None, :] * slopes[None, :, None, None]
         if decoding:
-            # intra-block causality for s>1 decode steps
+            # intra-block causality for s>1 decode steps (scalar cache_pos:
+            # chunked prefill / single-stream spec windows; vector [B]
+            # cache_pos: the continuous batcher's per-row verify windows)
             if s > 1:
                 L = cache_len_of(cache)
-                qpos = cache_pos + jnp.arange(s)
-                block_mask = jnp.arange(L)[None, :] <= qpos[:, None]
-                mb = jnp.where(block_mask, 0.0, DEFAULT_MASK_VALUE)
-                bias = mb[None, None] if bias is None else bias + mb[None, None]
+                if getattr(cache_pos, "ndim", 0) == 1:
+                    qpos = cache_pos[:, None] + jnp.arange(s)[None, :]
+                    block_mask = (jnp.arange(L)[None, None, :]
+                                  <= qpos[:, :, None])          # [B,s,L]
+                    mb = jnp.where(block_mask, 0.0,
+                                   DEFAULT_MASK_VALUE)[:, None]
+                else:
+                    qpos = cache_pos + jnp.arange(s)
+                    block_mask = jnp.arange(L)[None, :] <= qpos[:, None]
+                    mb = jnp.where(block_mask, 0.0,
+                                   DEFAULT_MASK_VALUE)[None, None]
+                bias = mb if bias is None else bias + mb
         elif attention_mask is not None:
             attn_ids = attention_mask.astype(jnp.int32)
 
