@@ -70,11 +70,10 @@ def autotune_num_slots(params, cfg, cache_len: int, cache_dtype,
     return max(1, min(max_slots, int(free // max(row_bytes, 1))))
 
 
-def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
-    """Vectorized per-row sampling: every control is a [B] array."""
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
-    v = logits.shape[-1]
+def filter_rows(scaled, top_k, top_p):
+    """Per-row top-k + top-p filtering on pre-scaled logits [B, V];
+    `top_k` [B] int (0 = off) and `top_p` [B] float (1.0 = off)."""
+    v = scaled.shape[-1]
     # per-row top-k: threshold at the k-th largest (k=0 -> no filter)
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
     k_idx = jnp.clip(top_k - 1, 0, v - 1)
@@ -88,7 +87,14 @@ def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
     sorted_scaled = jnp.sort(scaled, axis=-1)[:, ::-1]
     thresh = jnp.min(jnp.where(keep, sorted_scaled, jnp.inf), axis=-1,
                      keepdims=True)
-    scaled = jnp.where(scaled < thresh, sampling.NEG_INF, scaled)
+    return jnp.where(scaled < thresh, sampling.NEG_INF, scaled)
+
+
+def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
+    """Vectorized per-row sampling: every control is a [B] array."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = filter_rows(scaled, top_k, top_p)
     sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(do_sample, sampled, greedy)
 
@@ -143,10 +149,30 @@ class ContinuousBatcher:
                  buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024),
                  max_media: int = 1, cache_dtype=jnp.bfloat16,
                  rng_seed: int = 0, max_admits_per_iter: int = 1,
-                 hbm_bytes: float = 16e9, prefill_chunk: int = 0):
+                 hbm_bytes: float = 16e9, prefill_chunk: int = 0,
+                 draft=None, spec_gamma: int = 4):
         self.model = model
         self.params = params
         self.cfg = cfg
+        # slot-pool speculative decoding: draft = (model_d, params_d,
+        # cfg_d) turns every decode iteration into a speculative ROUND
+        # (gamma batched draft steps + one batched s=gamma+1 target
+        # verify window) advancing each slot by 1..gamma+1 tokens.
+        # Greedy rows emit exactly the target's greedy tokens; sampled
+        # rows are distributionally exact (accept_resample is correct
+        # for ANY proposal distribution). Beam requests are capped to
+        # num_beams=1 while a draft is attached — beams revise their
+        # past, which the nothing-rolled-back cache scheme cannot.
+        if draft is not None:
+            self.model_d, self.params_d, self.cfg_d = draft
+            assert self.cfg_d.text.vocab_size == cfg.text.vocab_size, \
+                "slot-pool speculation requires a shared vocabulary"
+            assert max(buckets) + spec_gamma + 1 <= cache_len, \
+                "cache_len must leave a gamma+1 verify window after the " \
+                "largest prompt bucket"
+        else:
+            self.model_d = self.params_d = self.cfg_d = None
+        self.gamma = spec_gamma
         if num_slots == "auto":
             num_slots = autotune_num_slots(
                 params, cfg, cache_len, cache_dtype, hbm_bytes=hbm_bytes)
@@ -210,9 +236,17 @@ class ContinuousBatcher:
         self._buffer = jnp.zeros((num_slots, cache_len), jnp.int32)
         self._valid = jnp.zeros((num_slots, cache_len), bool)
         self._latents: Optional[jnp.ndarray] = None  # lazy: needs latent dims
+        # draft pools (spec mode): the draft's KV mirrors the target's
+        # column layout exactly (same buffer/valid), so only the cache
+        # and vision latents are model-specific
+        if self.model_d is not None:
+            self._cache_d = init_cache(self.cfg_d.text, num_slots,
+                                       cache_len, cache_dtype)
+            self._latents_d: Optional[jnp.ndarray] = None
+        self._spec_fns: Dict[Any, Any] = {}
 
-        self._prefill_fns: Dict[int, Any] = {}
-        self._insert_fns: Dict[int, Any] = {}
+        self._prefill_fns: Dict[Any, Any] = {}
+        self._insert_fns: Dict[Any, Any] = {}
         self._decode_fns: Dict[Any, Any] = {}
         self._beam_cand_fns: Dict[int, Any] = {}
         self._beam_reorder_fn = None
@@ -306,19 +340,41 @@ class ContinuousBatcher:
 
     # ── jitted pieces ─────────────────────────────────────────────────
 
-    def _get_prefill(self, bucket: int):
-        if bucket not in self._prefill_fns:
+    def _get_prefill(self, bucket: int, which: str = "t"):
+        key = (bucket, which)
+        if key not in self._prefill_fns:
+            model = self.model if which == "t" else self.model_d
+            cfg = self.cfg if which == "t" else self.cfg_d
+
             def prefill(params, vision_x, lang_x, mask):
-                cache = init_cache(self.cfg.text, 1, bucket,
-                                   self.cache_dtype)
+                cache = init_cache(cfg.text, 1, bucket, self.cache_dtype)
                 positions = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0,
                                      None).astype(jnp.int32)
-                logits, cache, lat = self.model.apply(
+                logits, cache, lat = model.apply(
                     params, vision_x, lang_x, attention_mask=mask,
                     positions=positions, cache=cache)
                 return logits[:, -1], cache, lat
-            self._prefill_fns[bucket] = jax.jit(prefill)
-        return self._prefill_fns[bucket]
+            self._prefill_fns[key] = jax.jit(prefill)
+        return self._prefill_fns[key]
+
+    def _get_insert_d(self, bucket: int):
+        """Draft-pool half of an admission: scatter the draft's local
+        prefill cache + vision latents into the pooled draft state (the
+        shared buffer/valid rows are written by the target insert)."""
+        key = ("d", bucket)
+        if key not in self._insert_fns:
+            def insert(big, small, latents, slot, lat_row):
+                def put(dst, src):
+                    if dst.ndim == 5:
+                        return dst.at[slot, :, :, :bucket, :].set(src[0])
+                    return dst.at[slot, :, :, :bucket].set(src[0])
+                big = {k: put(big[k], small[k]) for k in big}
+                t = lat_row.shape[1]
+                latents = latents.at[slot, :t].set(lat_row[0])
+                return big, latents
+            self._insert_fns[key] = jax.jit(insert,
+                                            donate_argnums=(0, 2))
+        return self._insert_fns[key]
 
     def _get_insert(self, bucket: int):
         if bucket not in self._insert_fns:
