@@ -286,6 +286,11 @@ class ContinuousBatcher:
         can revise earlier tokens, which a per-token stream cannot
         express. num_beams is capped at the pool size."""
         gen = gen or GenerationConfig()
+        if self.model_d is not None and gen.num_beams > 1:
+            # beams revise their past; the nothing-rolled-back
+            # speculative cache scheme cannot, so spec pools serve
+            # beamed requests as num_beams=1
+            gen = gen.replace(num_beams=1)
         if gen.num_beams > self.n:
             gen = gen.replace(num_beams=self.n)
         out: "queue.Queue" = queue.Queue()
@@ -458,6 +463,7 @@ class ContinuousBatcher:
                              pad_id=gen.pad_token_id)
         lat = self._get_encode()(self.params, jnp.asarray(vision_x))
         task = dict(slot=free, gen=gen, out=out, t_submit=t_submit,
+                    vx=np.asarray(vision_x),
                     cache=init_cache(self.cfg.text, 1, bucket,
                                      self.cache_dtype),
                     lat=lat, ids=jnp.asarray(ids), mask=jnp.asarray(mask),
@@ -514,6 +520,13 @@ class ContinuousBatcher:
                     self._cache, task["cache"], self._buffer, self._valid,
                     self._latents, free, task["ids"][0], task["mask"][0],
                     lat)
+            if self.model_d is not None:
+                # the draft prefills ONE-SHOT even when the target was
+                # chunked: draft models are ~an order of magnitude
+                # smaller, so their prefill is far below the chunk-stall
+                # bound chunking exists to enforce
+                self._admit_draft(bucket, task["vx"], task["ids"],
+                                  task["mask"], free)
             self._rng, sub = jax.random.split(self._rng)
             first_logits = task["last"]
             if gen.no_repeat_ngram_size or gen.bad_words_ids:
@@ -583,6 +596,221 @@ class ContinuousBatcher:
         self._decode_fns[key] = jax.jit(decode, donate_argnums=(1, 2, 3))
         return self._decode_fns[key]
 
+    # ── slot-pool speculative round ───────────────────────────────────
+
+    def _get_spec_round(self, lp_configs: Tuple[Tuple[int, Any], ...]):
+        """One batched speculative ROUND over the whole slot pool: gamma
+        draft steps (each a [B]-batched decode), one s=gamma+1 target
+        verify window at per-row offsets, then a per-row accept/advance.
+
+        Invariants mirror the plain decode step exactly — `toks` is the
+        delivered-but-uningested token at column `written`; the round
+        commits 1..gamma+1 NEW tokens per row, marks exactly their
+        columns in `valid`, and leaves the last emitted token pending.
+        Rejected draft KV is never rolled back: its columns stay outside
+        `valid` and are overwritten by later rounds (the standalone
+        generator's scheme, generation/speculative.py module doc).
+
+        The draft opener is an s=2 window over [buffer[W-1], toks]: a
+        fully-accepted previous round leaves the draft cache one column
+        short (the target verified d_gamma but the draft never ingested
+        it); re-ingesting W-1 is idempotent where already cached and
+        closes the gap. Greedy rows emit EXACTLY the plain batcher's
+        greedy tokens; sampled rows are distributionally exact for ANY
+        proposal (accept_resample, Leviathan et al. 2211.17192)."""
+        key = ("spec", lp_configs)
+        if key in self._spec_fns:
+            return self._spec_fns[key]
+        g, B, L = self.gamma, self.n, self.L
+        cols = jnp.arange(L)[None, :]
+
+        def win_valid(valid, written, last_off):
+            # committed columns plus this round's window [W-1, W+last_off]
+            return valid | ((cols >= (written - 1)[:, None])
+                            & (cols <= (written + last_off)[:, None]))
+
+        def proc_rows(logits, temperature, top_k, top_p):
+            # the PROCESSED per-row sampling distribution — identical
+            # temp/top-k/top-p order to sample_rows, so categorical over
+            # filter_rows == sampling from these probs
+            scaled = (logits.astype(jnp.float32)
+                      / jnp.maximum(temperature, 1e-6)[:, None])
+            return jax.nn.softmax(filter_rows(scaled, top_k, top_p), -1)
+
+        def spec(params, params_d, cache, cache_d, buffer, valid,
+                 latents, latents_d, toks, alive, written, emitted,
+                 real_len, media, lp_idx, valid_from, do_sample,
+                 temperature, top_k, top_p, eos, max_new, rng):
+            rows = jnp.arange(B)
+            buffer = buffer.at[rows, written].set(toks)
+            pos0 = real_len + emitted - 1          # RoPE pos of `toks`
+            prev = buffer[rows, written - 1]
+            kd, ka = jax.random.split(rng)
+
+            # draft opener: s=2 [prev, toks] at W-1 (gap-closing)
+            lg_d, cache_d, _ = self.model_d.apply(
+                params_d, None, jnp.stack([prev, toks], 1),
+                vis_latents=latents_d, cache=cache_d,
+                cache_pos=written - 1,
+                kv_valid=win_valid(valid, written, 0),
+                positions=jnp.stack([pos0 - 1, pos0], 1),
+                media_counts=media)
+            lg1 = lg_d[:, -1]
+            d1 = sample_rows(jax.random.fold_in(kd, 0), lg1,
+                             do_sample=do_sample, temperature=temperature,
+                             top_k=top_k, top_p=top_p)
+            q1 = proc_rows(lg1, temperature, top_k, top_p)
+
+            def draft_step(carry, i):
+                tok, cache_d = carry
+                lg, cache_d, _ = self.model_d.apply(
+                    params_d, None, tok[:, None], vis_latents=latents_d,
+                    cache=cache_d, cache_pos=written + 1 + i,
+                    kv_valid=win_valid(valid, written, 1 + i),
+                    positions=(pos0 + 1 + i)[:, None], media_counts=media)
+                lg = lg[:, -1]
+                nxt = sample_rows(jax.random.fold_in(kd, i + 1), lg,
+                                  do_sample=do_sample,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p)
+                return (nxt, cache_d), (nxt, proc_rows(lg, temperature,
+                                                       top_k, top_p))
+
+            if g > 1:
+                (_, cache_d), (d_rest, q_rest) = jax.lax.scan(
+                    draft_step, (d1, cache_d), jnp.arange(g - 1))
+                d = jnp.concatenate([d1[:, None],
+                                     jnp.moveaxis(d_rest, 0, 1)], 1)
+                q = jnp.concatenate([q1[:, None],
+                                     jnp.moveaxis(q_rest, 0, 1)], 1)
+            else:
+                d, q = d1[:, None], q1[:, None]        # [B,g], [B,g,V]
+
+            # target verify: [toks, d_1..d_g] in ONE s=g+1 window
+            window = jnp.concatenate([toks[:, None], d], 1)
+            lg_t, cache, _ = self.model.apply(
+                params, None, window, vis_latents=latents, cache=cache,
+                cache_pos=written, kv_valid=win_valid(valid, written, g),
+                positions=pos0[:, None] + jnp.arange(g + 1)[None, :],
+                media_counts=media)
+            wcols = written[:, None] + jnp.arange(g + 1)[None, :]
+            buffer = buffer.at[rows[:, None], wcols].set(window)
+
+            # row-gated sequence bans per window position
+            for ci, (ngram, bad_words) in enumerate(lp_configs):
+                genc = GenerationConfig(no_repeat_ngram_size=ngram,
+                                        bad_words_ids=bad_words)
+                proc = jnp.stack(
+                    [sampling.process_logits(lg_t[:, j], buffer,
+                                             written + 1 + j, genc,
+                                             valid_from)
+                     for j in range(g + 1)], 1)
+                lg_t = jnp.where((lp_idx == ci)[:, None, None], proc,
+                                 lg_t)
+
+            idx = jnp.arange(g + 1)
+            t_arg = jnp.argmax(lg_t, -1).astype(jnp.int32)   # [B, g+1]
+            # greedy accept: agreeing prefix + the target's correction
+            m_g = jnp.sum(jnp.cumprod(
+                (t_arg[:, :g] == d).astype(jnp.int32), 1), 1)
+            out_g = jnp.where(idx[None] < m_g[:, None],
+                              jnp.concatenate([d, d[:, -1:]], 1), t_arg)
+            # sampled accept: batched accept_resample
+            V = lg_t.shape[-1]
+            p = proc_rows(lg_t.reshape(B * (g + 1), V),
+                          jnp.repeat(temperature, g + 1),
+                          jnp.repeat(top_k, g + 1),
+                          jnp.repeat(top_p, g + 1)).reshape(B, g + 1, V)
+            ku, kr = jax.random.split(ka)
+            u = jax.random.uniform(ku, (B, g), jnp.float32)
+            p_at = jnp.take_along_axis(p[:, :g], d[..., None], -1)[..., 0]
+            q_at = jnp.maximum(
+                jnp.take_along_axis(q, d[..., None], -1)[..., 0], 1e-20)
+            acc = (u < p_at / q_at).astype(jnp.int32)
+            m_s = jnp.sum(jnp.cumprod(acc, 1), 1)
+            p_m = jnp.take_along_axis(p, m_s[:, None, None], 1)[:, 0]
+            q_m = jnp.where(
+                (m_s < g)[:, None],
+                jnp.take_along_axis(q, jnp.minimum(m_s, g - 1)[:, None,
+                                                               None],
+                                    1)[:, 0], 0.0)
+            resid = jnp.maximum(p_m - q_m, 0.0)
+            rs = jnp.sum(resid, -1, keepdims=True)
+            resid = jnp.where(rs > 1e-6,
+                              resid / jnp.maximum(rs, 1e-20), p_m)
+            x_m = jax.random.categorical(
+                kr, jnp.log(jnp.maximum(resid, 1e-38)), -1)
+            out_s = jnp.concatenate(
+                [d, jnp.zeros((B, 1), d.dtype)],
+                1).at[rows, m_s].set(x_m.astype(d.dtype))
+
+            out = jnp.where(do_sample[:, None], out_s, out_g)
+            e = jnp.where(do_sample, m_s, m_g) + 1
+            # truncate at eos, then at the per-row max_new budget
+            eos_at = jnp.min(jnp.where(out == eos[:, None], idx[None],
+                                       g + 1), 1)
+            e = jnp.minimum(e, eos_at + 1)
+            e = jnp.minimum(e, max_new - emitted)
+            e = jnp.where(alive, e, 0)
+
+            valid = valid | ((cols >= written[:, None])
+                             & (cols < (written + e)[:, None]))
+            written2 = written + e
+            emitted2 = emitted + e
+            eos_hit = jnp.any((out == eos[:, None])
+                              & (idx[None] < e[:, None]), 1)
+            alive2 = (alive & ~eos_hit & (emitted2 < max_new)
+                      & (written2 + g + 1 <= L))
+            return (out, e, alive2, written2, emitted2, cache, cache_d,
+                    buffer, valid)
+
+        self._spec_fns[key] = jax.jit(spec, donate_argnums=(2, 3, 4, 5))
+        return self._spec_fns[key]
+
+    def _step_spec(self) -> bool:
+        """One speculative scheduler iteration: dispatch the round, force
+        the (out, e) readback — amortized over up to gamma+1 tokens per
+        row — and stream each row's emitted prefix with the same
+        eos/max_new/room close-out rules the device used for alive2."""
+        slots = self._slots
+        if not any(s.active for s in slots):
+            return False
+        lp_list, st = self._static_args(slots)
+        ca = self._carried_args(slots)
+        self._rng, sub = jax.random.split(self._rng)
+        (out, e, _, _, _, self._cache, self._cache_d, self._buffer,
+         self._valid) = self._get_spec_round(lp_list)(
+            self.params, self.params_d, self._cache, self._cache_d,
+            self._buffer, self._valid, self._latents, self._latents_d,
+            ca["toks"], ca["alive"], ca["written"], ca["emitted"],
+            st["real_len"], st["media"], st["lp_idx"], st["valid_from"],
+            st["do_sample"], st["temperature"], st["top_k"], st["top_p"],
+            st["eos"], st["max_new"], sub)
+        out = np.asarray(out)
+        e = np.asarray(e)
+        for i, s in enumerate(slots):
+            if not s.active:
+                continue
+            eos = s.gen.eos_token_id if s.gen.eos_token_id is not None \
+                else self.cfg.eoc_token_id
+            closed = False
+            for tok in out[i, : int(e[i])]:
+                tok = int(tok)
+                s.written += 1
+                s.emitted += 1
+                if tok == eos:
+                    s.out.put(None)
+                    self._finish(s)
+                    closed = True
+                    break
+                s.out.put(tok)
+                s.last_tok = tok
+            if not closed and (s.emitted >= s.gen.max_new_tokens
+                               or s.written + self.gamma + 1 > self.L):
+                s.out.put(None)
+                self._finish(s)
+        return any(s.active for s in slots)
+
     # ── beam-group jitted pieces ──────────────────────────────────────
 
     def _get_beam_cand(self, k: int):
@@ -645,6 +873,8 @@ class ContinuousBatcher:
                 self._cache, small, self._buffer, self._valid,
                 self._latents, free, jnp.asarray(ids[0]),
                 jnp.asarray(mask[0]), lat)
+        if self.model_d is not None:
+            self._admit_draft(bucket, vision_x, ids, mask, free)
 
         # first token from the prefill logits (left on device)
         self._rng, sub = jax.random.split(self._rng)
@@ -674,6 +904,22 @@ class ContinuousBatcher:
         slot.active = False
         slot.t_submit = t_submit
         return slot, tok_dev
+
+    def _admit_draft(self, bucket, vision_x, ids, mask, free):
+        """Draft half of an admission: prefill the draft on the same
+        padded prompt and scatter its cache/latents into the draft pools
+        (the shared buffer/valid rows were written by the target
+        insert). The draft's first-token logits are discarded — the
+        round-opening token always comes from the TARGET prefill, like
+        the standalone generator's prefill."""
+        _, small_d, lat_d = self._get_prefill(bucket, "d")(
+            self.params_d, jnp.asarray(vision_x), jnp.asarray(ids),
+            jnp.asarray(mask))
+        if self._latents_d is None:
+            shape = (self.n, self.max_media) + tuple(lat_d.shape[2:])
+            self._latents_d = jnp.zeros(shape, lat_d.dtype)
+        self._cache_d, self._latents_d = self._get_insert_d(bucket)(
+            self._cache_d, small_d, self._latents_d, free, lat_d)
 
     def _admit_start_beam(self, vision_x, lang_x, gen, out,
                           t_submit: float = 0.0):
@@ -1054,6 +1300,13 @@ class ContinuousBatcher:
             self._drain_one()
 
     def _step(self):
+        if self.model_d is not None:
+            # speculative rounds force their own (out, e) readback each
+            # iteration — the sync amortizes over up to gamma+1 tokens
+            # per row, which is the whole point; beams never coexist
+            # with a draft (submit caps num_beams to 1)
+            self._drain_all()
+            return self._step_spec()
         if self._groups:
             # beam groups force a host sync per iteration (top-2k
             # readback + conditional reorder): run unpipelined

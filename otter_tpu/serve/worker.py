@@ -720,13 +720,43 @@ def main():
         params = {"params": qfn(params["params"])}
     cache_dtype = (args.cache_bit if args.cache_bit in ("int8", "int4")
                    else jnp.bfloat16)
+    draft = None
+    if args.draft_checkpoint:
+        cfg_d = cfgmod.PRESETS[args.draft_config]()
+        cfg_d = cfg_d.replace(
+            text=cfg_d.text.replace(decode_kernel="auto"))
+        if quantize:
+            cfg_d = cfg_d.replace(
+                text=cfg_d.text.replace(quant=args.load_bit))
+        model_d = OtterVLM(cfg_d, dtype=dtype)
+        load_cfg_d = cfg_d.replace(
+            text=cfg_d.text.replace(quant=None)) if quantize else cfg_d
+        load_model_d = OtterVLM(load_cfg_d, dtype=dtype)
+        shapes_d = jax.eval_shape(
+            load_model_d.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 1, 1, 3, cfg_d.vision.image_size,
+                       cfg_d.vision.image_size), dtype),
+            jnp.zeros((1, 8), jnp.int32))
+        params_d = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(
+                s.shape, dtype if jnp.issubdtype(s.dtype, jnp.floating)
+                else s.dtype), shapes_d)
+        params_d = load_otter_checkpoint(
+            args.draft_checkpoint, load_cfg_d, params_d, dtype=dtype)
+        if quantize:
+            params_d = {"params": qfn(params_d["params"])}
+        draft = (model_d, params_d, cfg_d)
     if args.continuous_batching:
         from otter_tpu.generation.batching import ContinuousBatcher
+        # with a draft attached every decode iteration becomes a
+        # batched speculative round over the whole slot pool
         batcher = ContinuousBatcher(model, params, cfg,
                                     num_slots=args.num_slots,
                                     cache_len=args.cache_len,
                                     cache_dtype=cache_dtype,
-                                    prefill_chunk=args.prefill_chunk)
+                                    prefill_chunk=args.prefill_chunk,
+                                    draft=draft,
+                                    spec_gamma=args.draft_gamma)
         stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg)
     else:
         engine = OtterGenerator(model, params, cfg,
@@ -739,32 +769,10 @@ def main():
                                    cache_len=args.cache_len,
                                    cache_dtype=cache_dtype)
         spec = None
-        if args.draft_checkpoint:
+        if draft is not None:
             from otter_tpu.generation.speculative import \
                 SpeculativeGenerator
-            cfg_d = cfgmod.PRESETS[args.draft_config]()
-            cfg_d = cfg_d.replace(
-                text=cfg_d.text.replace(decode_kernel="auto"))
-            if quantize:
-                cfg_d = cfg_d.replace(
-                    text=cfg_d.text.replace(quant=args.load_bit))
-            model_d = OtterVLM(cfg_d, dtype=dtype)
-            load_cfg_d = cfg_d.replace(
-                text=cfg_d.text.replace(quant=None)) if quantize else cfg_d
-            load_model_d = OtterVLM(load_cfg_d, dtype=dtype)
-            shapes_d = jax.eval_shape(
-                load_model_d.init, jax.random.PRNGKey(0),
-                jnp.zeros((1, 1, 1, 3, cfg_d.vision.image_size,
-                           cfg_d.vision.image_size), dtype),
-                jnp.zeros((1, 8), jnp.int32))
-            params_d = jax.tree_util.tree_map(
-                lambda s: jnp.zeros(
-                    s.shape, dtype if jnp.issubdtype(s.dtype, jnp.floating)
-                    else s.dtype), shapes_d)
-            params_d = load_otter_checkpoint(
-                args.draft_checkpoint, load_cfg_d, params_d, dtype=dtype)
-            if quantize:
-                params_d = {"params": qfn(params_d["params"])}
+            model_d, params_d, cfg_d = draft
             spec = SpeculativeGenerator(
                 model, params, cfg, model_d, params_d, cfg_d,
                 gamma=args.draft_gamma, cache_dtype=cache_dtype)

@@ -486,3 +486,157 @@ def test_chunked_prefill_cache_equivalent(rng):
                                    atol=1e-4, rtol=1e-4)
     finally:
         batcher.shutdown()
+
+
+# ── slot-pool speculative decoding ───────────────────────────────────
+
+def _draft_tiny(rng, cfg):
+    """A second tiny model sharing the target's vocabulary (different
+    weights): plays the draft role in slot-pool speculation."""
+    model_d = OtterVLM(cfg)
+    vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                     jnp.float32)
+    ids = np.asarray(rng.integers(5, 200, (1, 8)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    params_d = model_d.init(jax.random.PRNGKey(7), vx, jnp.asarray(ids))
+    return model_d, params_d
+
+
+def test_spec_pool_greedy_matches_single_stream(rng):
+    """Greedy requests through a draft-attached pool emit EXACTLY the
+    single-stream engine's greedy tokens (acceptance is argmax equality,
+    so speculation is invisible in the output)."""
+    cfg, model, params, _, _ = _tiny(rng)
+    model_d, params_d = _draft_tiny(rng, cfg)
+    prompts = []
+    for s in (8, 10, 12):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, 0] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        prompts.append((vx, ids))
+    expected = [_reference_tokens(model, params, cfg, vx, ids, 7)
+                for vx, ids in prompts]
+
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=3,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                draft=(model_d, params_d, cfg),
+                                spec_gamma=3)
+    try:
+        streams = [batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=7))
+                   for vx, ids in prompts]
+        got = [list(s) for s in streams]
+    finally:
+        batcher.shutdown()
+    for g, e in zip(got, expected):
+        assert g[: len(e)] == e, (g, e)
+
+
+def test_spec_pool_self_draft_accepts_everything(rng):
+    """With the TARGET as its own draft, every greedy proposal must be
+    accepted: max_new tokens arrive in ceil((max_new-1)/(gamma+1))
+    rounds, and the output still matches the plain engine."""
+    cfg, model, params, vx, ids = _tiny(rng)
+    expected = _reference_tokens(model, params, cfg, vx, ids, 9)
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                draft=(model, params, cfg), spec_gamma=4)
+    try:
+        got = list(batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=9)))
+    finally:
+        batcher.shutdown()
+    assert got[: len(expected)] == expected, (got, expected)
+
+
+def test_spec_pool_mixed_greedy_sampled_and_reuse(rng):
+    """Greedy and sampled requests share one spec pool; more requests
+    than slots exercises re-admission into the draft pools. Greedy rows
+    must still match the engine exactly; sampled rows must emit valid
+    token counts."""
+    cfg, model, params, _, _ = _tiny(rng)
+    model_d, params_d = _draft_tiny(rng, cfg)
+    reqs = []
+    for s in (8, 9, 10, 11):
+        ids = np.asarray(rng.integers(5, 200, (1, s)), np.int32)
+        ids[:, 0] = cfg.media_token_id
+        vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                         jnp.float32)
+        reqs.append((vx, ids))
+    expected = [_reference_tokens(model, params, cfg, vx, ids, 5)
+                for vx, ids in reqs[:2]]
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                draft=(model_d, params_d, cfg),
+                                spec_gamma=3)
+    try:
+        gens = [GenerationConfig(max_new_tokens=5),
+                GenerationConfig(max_new_tokens=5),
+                GenerationConfig(max_new_tokens=5, do_sample=True,
+                                 temperature=0.9, top_k=40),
+                GenerationConfig(max_new_tokens=5, do_sample=True,
+                                 top_p=0.9)]
+        results = [None] * len(reqs)
+
+        def run(i):
+            results[i] = list(batcher.submit(*reqs[i], gens[i]))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        batcher.shutdown()
+    for g, e in zip(results[:2], expected):
+        assert g is not None and g[: len(e)] == e, (g, e)
+    for g in results[2:]:
+        assert g is not None and 0 < len(g) <= 5
+        assert all(isinstance(t, int) and t != cfg.eoc_token_id
+                   for t in g)
+
+
+def test_spec_pool_with_chunked_prefill(rng):
+    """Chunked target prefill + one-shot draft prefill compose: greedy
+    output through the spec pool still matches the engine."""
+    cfg, model, params, _, _ = _tiny(rng, s=13)
+    model_d, params_d = _draft_tiny(rng, cfg)
+    ids = np.asarray(rng.integers(5, 200, (1, 13)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                     jnp.float32)
+    expected = _reference_tokens(model, params, cfg, vx, ids, 6)
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32, prefill_chunk=4,
+                                draft=(model_d, params_d, cfg),
+                                spec_gamma=3)
+    try:
+        got = list(batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=6)))
+    finally:
+        batcher.shutdown()
+    assert got[: len(expected)] == expected, (got, expected)
+
+
+def test_spec_pool_caps_beams_to_one(rng):
+    """A num_beams>1 request into a draft-attached pool degrades to
+    num_beams=1 (beams revise their past; the nothing-rolled-back cache
+    scheme cannot) and must still stream greedy-exact tokens."""
+    cfg, model, params, vx, ids = _tiny(rng)
+    expected = _reference_tokens(model, params, cfg, vx, ids, 5)
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                draft=(model, params, cfg), spec_gamma=2)
+    try:
+        got = list(batcher.submit(
+            vx, ids, GenerationConfig(max_new_tokens=5, num_beams=3)))
+    finally:
+        batcher.shutdown()
+    assert got[: len(expected)] == expected, (got, expected)
