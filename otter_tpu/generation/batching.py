@@ -49,7 +49,7 @@ def _round_bucket(n: int, buckets: Tuple[int, ...]) -> int:
 def autotune_num_slots(params, cfg, cache_len: int, cache_dtype,
                        *, hbm_bytes: float = 16e9,
                        headroom_bytes: float = 1.5e9,
-                       max_slots: int = 32) -> int:
+                       max_slots: int = 32, draft=None) -> int:
     """Slot-count autotuning: the largest pool whose KV cache fits the
     declared HBM budget next to the resident params.
 
@@ -58,15 +58,26 @@ def autotune_num_slots(params, cfg, cache_len: int, cache_dtype,
     scales). The tunnel backend exposes no memory_stats, so the budget
     is declared, not probed — pass the device's real capacity (v5e:
     16e9). Returns at least 1 (a model whose single-slot footprint
-    exceeds the budget will OOM regardless of the pool size)."""
-    param_bytes = sum(
-        np.prod(x.shape) * jnp.dtype(x.dtype).itemsize
-        for x in jax.tree_util.tree_leaves(params))
-    row = jax.eval_shape(
-        lambda: init_cache(cfg.text, 1, cache_len, cache_dtype))
-    row_bytes = sum(x.size * jnp.dtype(x.dtype).itemsize
-                    for x in jax.tree_util.tree_leaves(row))
-    free = hbm_bytes - float(param_bytes) - headroom_bytes
+    exceeds the budget will OOM regardless of the pool size). With
+    `draft=(model_d, params_d, cfg_d)` (slot-pool speculation) the
+    draft's resident params and its per-slot cache row join the
+    budget."""
+    def nbytes(tree):
+        return sum(np.prod(x.shape) * jnp.dtype(x.dtype).itemsize
+                   for x in jax.tree_util.tree_leaves(tree))
+
+    def row_bytes_of(text_cfg):
+        row = jax.eval_shape(
+            lambda: init_cache(text_cfg, 1, cache_len, cache_dtype))
+        return sum(x.size * jnp.dtype(x.dtype).itemsize
+                   for x in jax.tree_util.tree_leaves(row))
+
+    param_bytes = float(nbytes(params))
+    row_bytes = row_bytes_of(cfg.text)
+    if draft is not None:
+        param_bytes += float(nbytes(draft[1]))
+        row_bytes += row_bytes_of(draft[2].text)
+    free = hbm_bytes - param_bytes - headroom_bytes
     return max(1, min(max_slots, int(free // max(row_bytes, 1))))
 
 
@@ -175,7 +186,8 @@ class ContinuousBatcher:
         self.gamma = spec_gamma
         if num_slots == "auto":
             num_slots = autotune_num_slots(
-                params, cfg, cache_len, cache_dtype, hbm_bytes=hbm_bytes)
+                params, cfg, cache_len, cache_dtype, hbm_bytes=hbm_bytes,
+                draft=draft)
         self.n = num_slots
         self.L = cache_len
         self.buckets = tuple(sorted(buckets))
@@ -761,34 +773,61 @@ class ContinuousBatcher:
                               & (idx[None] < e[:, None]), 1)
             alive2 = (alive & ~eos_hit & (emitted2 < max_new)
                       & (written2 + g + 1 <= L))
-            return (out, e, alive2, written2, emitted2, cache, cache_d,
-                    buffer, valid)
+            # device-side carried state (like the plain decode step):
+            # round t+1 dispatches from round t's DEVICE outputs, so the
+            # (out, e) readback overlaps the next round's compute
+            toks2 = jnp.where(e > 0,
+                              out[rows, jnp.maximum(e - 1, 0)], toks)
+            return (out, e, toks2, alive2, written2, emitted2, cache,
+                    cache_d, buffer, valid)
 
         self._spec_fns[key] = jax.jit(spec, donate_argnums=(2, 3, 4, 5))
         return self._spec_fns[key]
 
     def _step_spec(self) -> bool:
-        """One speculative scheduler iteration: dispatch the round, force
-        the (out, e) readback — amortized over up to gamma+1 tokens per
-        row — and stream each row's emitted prefix with the same
-        eos/max_new/room close-out rules the device used for alive2."""
+        """One speculative scheduler iteration: dispatch a round with NO
+        host sync (carried slot state flows device-to-device, exactly
+        like `_dispatch`), then drain pipelined rounds — each readback
+        covers up to gamma+1 tokens per row AND overlaps the next
+        round's compute."""
         slots = self._slots
         if not any(s.active for s in slots):
+            self._drain_all()
             return False
-        lp_list, st = self._static_args(slots)
-        ca = self._carried_args(slots)
+        if self._dirty or self._carried is None:
+            self._lp_list, self._statics = self._static_args(slots)
+            self._carried = self._carried_args(slots)
+            self._dirty = False
         self._rng, sub = jax.random.split(self._rng)
-        (out, e, _, _, _, self._cache, self._cache_d, self._buffer,
-         self._valid) = self._get_spec_round(lp_list)(
-            self.params, self.params_d, self._cache, self._cache_d,
-            self._buffer, self._valid, self._latents, self._latents_d,
-            ca["toks"], ca["alive"], ca["written"], ca["emitted"],
-            st["real_len"], st["media"], st["lp_idx"], st["valid_from"],
-            st["do_sample"], st["temperature"], st["top_k"], st["top_p"],
-            st["eos"], st["max_new"], sub)
-        out = np.asarray(out)
-        e = np.asarray(e)
-        for i, s in enumerate(slots):
+        st, ca = self._statics, self._carried
+        (out, e, toks2, alive2, written2, emitted2, self._cache,
+         self._cache_d, self._buffer, self._valid) = \
+            self._get_spec_round(self._lp_list)(
+                self.params, self.params_d, self._cache, self._cache_d,
+                self._buffer, self._valid, self._latents,
+                self._latents_d, ca["toks"], ca["alive"], ca["written"],
+                ca["emitted"], st["real_len"], st["media"],
+                st["lp_idx"], st["valid_from"], st["do_sample"],
+                st["temperature"], st["top_k"], st["top_p"], st["eos"],
+                st["max_new"], sub)
+        self._carried = dict(toks=toks2, alive=alive2, written=written2,
+                             emitted=emitted2)
+        self._inflight.append(
+            ((out, e), [i for i, s in enumerate(slots) if s.active]))
+        while len(self._inflight) > self.pipeline_depth:
+            self._drain_one()
+        return True
+
+    def _drain_one_spec(self):
+        """Force the oldest in-flight ROUND's (out, e) and stream each
+        row's emitted prefix, mirroring the device's alive2 rules
+        (eos / max_new budget / gamma+1 cache-room stop) on the host
+        slot state."""
+        (out_dev, e_dev), snapshot = self._inflight.pop(0)
+        out = np.asarray(out_dev)
+        e = np.asarray(e_dev)
+        for i in snapshot:
+            s = self._slots[i]
             if not s.active:
                 continue
             eos = s.gen.eos_token_id if s.gen.eos_token_id is not None \
@@ -809,7 +848,6 @@ class ContinuousBatcher:
                                or s.written + self.gamma + 1 > self.L):
                 s.out.put(None)
                 self._finish(s)
-        return any(s.active for s in slots)
 
     # ── beam-group jitted pieces ──────────────────────────────────────
 
@@ -1272,6 +1310,8 @@ class ContinuousBatcher:
         """Force the oldest in-flight iteration's tokens and stream them
         (host mirrors of written/emitted/active advance exactly like the
         device-side update in `decode`)."""
+        if self.model_d is not None:
+            return self._drain_one_spec()
         nxt_dev, snapshot = self._inflight.pop(0)
         toks = np.asarray(nxt_dev)
         for i in snapshot:
@@ -1301,11 +1341,10 @@ class ContinuousBatcher:
 
     def _step(self):
         if self.model_d is not None:
-            # speculative rounds force their own (out, e) readback each
-            # iteration — the sync amortizes over up to gamma+1 tokens
-            # per row, which is the whole point; beams never coexist
-            # with a draft (submit caps num_beams to 1)
-            self._drain_all()
+            # speculative rounds: pipelined like plain decode, with each
+            # (out, e) readback amortized over up to gamma+1 tokens per
+            # row; beams never coexist with a draft (submit caps
+            # num_beams to 1)
             return self._step_spec()
         if self._groups:
             # beam groups force a host sync per iteration (top-2k
