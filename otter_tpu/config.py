@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 
 def _asdict(cfg) -> dict:
@@ -156,6 +156,24 @@ class TextConfig(_JsonMixin):
     # <|endofchunk|>, <PAD>); reference resizes llama embeddings
     # (`modeling_otter.py:573-575`).
     extra_vocab: int = 0
+    # prefix-LM: `prefix_mask` [B,S] marks a bidirectional-attention
+    # prefix — a query attends a key iff key<=query (causal) OR the key
+    # is in the prefix (reference `mpt/modeling_mpt.py:147-162,206`;
+    # the GPT2/Bloom/OPT surgery of `hf_prefixlm_converter.py` is a flag
+    # here — the unified decoder serves every arch). When True the
+    # forward REQUIRES prefix_mask, matching the reference's ValueError.
+    prefix_lm: bool = False
+    # block-diagonal intra-document attention: `sequence_id` [B,S] int
+    # restricts attention to same-id (same-document) keys on top of
+    # causality (reference `modeling_mpt.py:164-172,216-221`)
+    attn_uses_sequence_id: bool = False
+    # from-scratch init scheme selection (reference MPTConfig.init_config
+    # defaults, `configuration_mpt.py:17-26`): {"name": "kaiming_normal_",
+    # "init_std": ..., "init_gain": ..., "fan_mode": ...,
+    # "init_nonlinearity": ..., "init_div_is_residual": ...,
+    # "emb_init_std": ..., "emb_init_uniform_lim": ...}; consumed by
+    # models/init_fns.init_decoder_params. None -> flax defaults.
+    init_config: Optional[Dict[str, Any]] = None
 
     @property
     def head_dim(self) -> int:
@@ -198,6 +216,7 @@ class OtterConfig(_JsonMixin):
     media_token_id: int = 50278
     eoc_token_id: int = 50277   # <|endofchunk|>
     answer_token_id: Optional[int] = None
+    pad_token_id: Optional[int] = None
 
     @classmethod
     def tiny(cls, arch: str = "mpt") -> "OtterConfig":

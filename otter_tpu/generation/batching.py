@@ -83,28 +83,40 @@ def autotune_num_slots(params, cfg, cache_len: int, cache_dtype,
 
 def filter_rows(scaled, top_k, top_p):
     """Per-row top-k + top-p filtering on pre-scaled logits [B, V];
-    `top_k` [B] int (0 = off) and `top_p` [B] float (1.0 = off)."""
+    `top_k` [B] int (0 = off) and `top_p` [B] float (1.0 = off).
+
+    ONE full-vocab sort total: the top-k filter replaces a value-ordered
+    SUFFIX of the sorted view with NEG_INF, so the sorted view of the
+    filtered logits is the same `where` applied to the sorted array —
+    no re-sort is needed for the nucleus pass (at V=50k this sort is the
+    sampled continuous-batching hot path)."""
     v = scaled.shape[-1]
-    # per-row top-k: threshold at the k-th largest (k=0 -> no filter)
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    # per-row top-k: threshold at the k-th largest (k=0 -> no filter)
     k_idx = jnp.clip(top_k - 1, 0, v - 1)
     kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
-    scaled = jnp.where((top_k[:, None] > 0) & (scaled < kth),
-                       sampling.NEG_INF, scaled)
+    kmask = top_k[:, None] > 0
+    scaled = jnp.where(kmask & (scaled < kth), sampling.NEG_INF, scaled)
+    sorted_f = jnp.where(kmask & (sorted_desc < kth), sampling.NEG_INF,
+                         sorted_desc)
     # per-row top-p (nucleus), always keeping the argmax
-    probs = jax.nn.softmax(jnp.sort(scaled, axis=-1)[:, ::-1], axis=-1)
+    probs = jax.nn.softmax(sorted_f, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = cum - probs < top_p[:, None]
-    sorted_scaled = jnp.sort(scaled, axis=-1)[:, ::-1]
-    thresh = jnp.min(jnp.where(keep, sorted_scaled, jnp.inf), axis=-1,
+    thresh = jnp.min(jnp.where(keep, sorted_f, jnp.inf), axis=-1,
                      keepdims=True)
     return jnp.where(scaled < thresh, sampling.NEG_INF, scaled)
 
 
 def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
-    """Vectorized per-row sampling: every control is a [B] array."""
+    """Vectorized per-row sampling: every control is a [B] array.
+
+    Logits are scaled in float32 so the categorical draw samples from
+    EXACTLY the distribution `proc_rows` reports as the speculative
+    proposal q (bf16 filtering would make p/q off by rounding)."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = (logits.astype(jnp.float32)
+              / jnp.maximum(temperature, 1e-6)[:, None])
     scaled = filter_rows(scaled, top_k, top_p)
     sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(do_sample, sampled, greedy)
@@ -655,15 +667,21 @@ class ContinuousBatcher:
                  temperature, top_k, top_p, eos, max_new, rng):
             rows = jnp.arange(B)
             buffer = buffer.at[rows, written].set(toks)
-            pos0 = real_len + emitted - 1          # RoPE pos of `toks`
-            prev = buffer[rows, written - 1]
+            # never-admitted/dead rows have written=0 / emitted=0; clamp
+            # the opener's indices so no-corruption does not depend on
+            # JAX's out-of-bounds gather/scatter semantics (admission
+            # fully rewrites such rows anyway)
+            w1 = jnp.maximum(written - 1, 0)
+            pos0 = jnp.maximum(real_len + emitted - 1, 1)  # RoPE pos of
+            #                                                `toks`
+            prev = buffer[rows, w1]
             kd, ka = jax.random.split(rng)
 
             # draft opener: s=2 [prev, toks] at W-1 (gap-closing)
             lg_d, cache_d, _ = self.model_d.apply(
                 params_d, None, jnp.stack([prev, toks], 1),
                 vis_latents=latents_d, cache=cache_d,
-                cache_pos=written - 1,
+                cache_pos=w1,
                 kv_valid=win_valid(valid, written, 0),
                 positions=jnp.stack([pos0 - 1, pos0], 1),
                 media_counts=media)

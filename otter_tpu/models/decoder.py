@@ -269,9 +269,19 @@ class SelfAttention(nn.Module):
                 out = _decode_attention(q, ckl, cvl, kv_valid, bias,
                                         sm_scale=self._scale())
         else:
+            # attn_ids: either one [B,S] segment array (padding /
+            # sequence_id — eq-mask, causal) or a (q_ids, kv_ids, mode,
+            # causal) tuple (prefix-LM rides ids_mode="ge" with
+            # causal=False: prefix keys get id 0, others their position,
+            # so q_id >= kv_id  <=>  key in prefix OR key <= query)
+            if isinstance(attn_ids, tuple):
+                qi, ki, ids_mode, causal = attn_ids
+            else:
+                qi = ki = attn_ids
+                ids_mode, causal = "eq", True
             out = multi_head_attention(
-                q, k, v, bias=bias, q_ids=attn_ids, kv_ids=attn_ids,
-                ids_mode="eq", causal=True, sm_scale=self._scale())
+                q, k, v, bias=bias, q_ids=qi, kv_ids=ki,
+                ids_mode=ids_mode, causal=causal, sm_scale=self._scale())
             if cache is not None:
                 # prefill: write k/v at offset 0 into the preallocated cache
                 new_cache = write_cache(cache, k, v, 0)
@@ -583,6 +593,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids=None, *, merge_embeds=None,
                  attention_mask=None, positions=None,
+                 prefix_mask=None, sequence_id=None,
                  vis_latents=None, xattn_q_ids=None, xattn_kv_ids=None,
                  xattn_out_keep=None,
                  cache=None, cache_pos=None, kv_valid=None,
@@ -602,6 +613,14 @@ class Decoder(nn.Module):
         mask is True take `values` instead of the token embedding (Fuyu image
         patches; replaces the reference's gather_continuous_embeddings
         scatter, fuyu/modeling_fuyu.py:44-77).
+
+        prefix_mask: optional bool [B,S] (prefix-LM, cfg.prefix_lm) — a
+        query attends a key iff key<=query OR the key is in the prefix
+        (reference `modeling_mpt.py:147-162`). sequence_id: optional int
+        [B,S] (cfg.attn_uses_sequence_id) — attention is additionally
+        restricted to same-id keys (`modeling_mpt.py:164-172`). Both are
+        prefill/training-path arguments; cached decoding attends all
+        committed positions via kv_valid either way.
         """
         from otter_tpu.parallel.mesh import (DATA_AXIS, FSDP_AXIS, SEQ_AXIS,
                                              maybe_shard)
@@ -623,6 +642,11 @@ class Decoder(nn.Module):
             x = x + wpe.astype(self.dtype)[positions]
 
         decoding = cache is not None and cache_pos is not None
+        if c.prefix_lm and prefix_mask is None and not decoding:
+            # matches the reference's hard error (`modeling_mpt.py:206`)
+            raise ValueError(
+                "prefix_mask is a required argument when the decoder is "
+                "configured with prefix_lm=True")
 
         # self-attention bias: ALiBi (column form, matching build_alibi_bias
         # mpt/attention.py:457-464 — softmax-shift-equivalent per row)
@@ -638,6 +662,16 @@ class Decoder(nn.Module):
                 rel = (jnp.arange(L, dtype=jnp.int32)[None, :]
                        - last[:, None])
                 bias = (rel[:, None, None, :]
+                        * slopes[None, :, None, None])
+            elif prefix_mask is not None:
+                # prefix-LM attends bidirectionally over the prefix, so
+                # the column-form softmax-shift trick no longer holds for
+                # future keys; the reference switches to the FULL
+                # symmetric ALiBi -|i-j|·slope there (build_alibi_bias
+                # full=True, mpt/attention.py:457-464)
+                pos = jnp.arange(s, dtype=jnp.int32)
+                rel2 = -jnp.abs(pos[None, :] - pos[:, None])
+                bias = (rel2[None, None].astype(jnp.float32)
                         * slopes[None, :, None, None])
             else:
                 rel = jnp.arange(1 - s, 1, dtype=jnp.int32)
@@ -660,6 +694,39 @@ class Decoder(nn.Module):
                     mb = jnp.where(block_mask, 0.0,
                                    DEFAULT_MASK_VALUE)[None, None]
                 bias = mb if bias is None else bias + mb
+        elif prefix_mask is not None and sequence_id is not None:
+            # both restrictions at once cannot ride one id comparison;
+            # materialize the combined mask as additive bias (the
+            # reference materializes a [B,H,S,S] bias here too,
+            # `modeling_mpt.py:147-172`)
+            pos = jnp.arange(s, dtype=jnp.int32)
+            allowed = (pos[None, :, None] >= pos[None, None, :]) \
+                | prefix_mask.astype(bool)[:, None, :]
+            allowed &= (sequence_id[:, :, None] == sequence_id[:, None, :])
+            if attention_mask is not None:
+                allowed &= (attention_mask > 0)[:, None, :]
+            mb = jnp.where(allowed, 0.0, DEFAULT_MASK_VALUE)[:, None]
+            bias = mb if bias is None else bias + mb
+            attn_ids = (None, None, "eq", False)
+        elif prefix_mask is not None:
+            # prefix-LM via the kernel's "ge" id mask, no S×S bias:
+            # prefix keys id 0, other keys their position, queries their
+            # position — q_id >= kv_id <=> key in prefix OR key <= query;
+            # pad keys get id s+1 (> any query) so nothing attends them
+            pos = jnp.arange(s, dtype=jnp.int32)
+            ok = (attention_mask > 0 if attention_mask is not None
+                  else jnp.ones((b, s), bool))
+            qi = jnp.broadcast_to(pos[None], (b, s))
+            ki = jnp.where(prefix_mask.astype(bool) & ok, 0, pos[None])
+            ki = jnp.where(ok, ki, s + 1)
+            attn_ids = (qi, ki.astype(jnp.int32), "ge", False)
+        elif sequence_id is not None:
+            # block-diagonal same-document attention: the padding eq-mask
+            # generalizes directly (pad keys get the sentinel -1)
+            ids = sequence_id.astype(jnp.int32)
+            if attention_mask is not None:
+                ids = jnp.where(attention_mask > 0, ids, -1)
+            attn_ids = ids
         elif attention_mask is not None:
             attn_ids = attention_mask.astype(jnp.int32)
 

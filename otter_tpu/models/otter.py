@@ -69,7 +69,7 @@ class OtterVLM(nn.Module):
                  cache=None, cache_pos=None, kv_valid=None,
                  positions=None,
                  media_counts=None, vision_mask=None, skip_head=False,
-                 xattn_ids=None):
+                 xattn_ids=None, prefix_mask=None, sequence_id=None):
         """Full forward. If `vis_latents` is given, `vision_x` is ignored
         (the `use_cached_vision_x` behavior, modeling_otter.py:925-936).
 
@@ -107,6 +107,7 @@ class OtterVLM(nn.Module):
 
         logits, new_cache = self.lang_encoder(
             lang_x, attention_mask=attention_mask, positions=positions,
+            prefix_mask=prefix_mask, sequence_id=sequence_id,
             vis_latents=vis_latents, xattn_q_ids=q_ids, xattn_kv_ids=kv_ids,
             xattn_out_keep=out_keep,
             cache=cache, cache_pos=cache_pos, kv_valid=kv_valid,

@@ -747,6 +747,14 @@ def main():
             params_d = {"params": qfn(params_d["params"])}
         draft = (model_d, params_d, cfg_d)
     if args.continuous_batching:
+        if args.session_cache > 0:
+            # the slot pool shares one cache; cross-turn prefix reuse is
+            # not available there — fail loudly instead of silently
+            # dropping the flag (docs/serving.md "composing the modes")
+            p.error("--session-cache is incompatible with "
+                    "--continuous-batching: slots share one pooled KV "
+                    "cache, so cross-turn prefix reuse is unavailable. "
+                    "Drop one of the two flags.")
         from otter_tpu.generation.batching import ContinuousBatcher
         # with a draft attached every decode iteration becomes a
         # batched speculative round over the whole slot pool
