@@ -50,12 +50,12 @@ def _load():
         except OSError as e:
             print(f"native preproc load failed: {e}")
             return None
-        lib.otter_preprocess_batch.restype = ctypes.c_int
-        lib.otter_preprocess_batch.argtypes = [
+        lib.otter_preprocess_batch2.restype = ctypes.c_int
+        lib.otter_preprocess_batch2.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_int)]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -67,10 +67,16 @@ def available() -> bool:
 def preprocess_batch(buffers: Sequence[bytes], size: int,
                      mean: Tuple[float, float, float],
                      std: Tuple[float, float, float],
-                     is_base64: bool = False
+                     is_base64: bool = False,
+                     scaled_decode: bool = True
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """buffers of encoded images (or base64 text) -> ([N,3,S,S] f32,
-    status [N] int32 with 0=ok)."""
+    status [N] int32 with 0=ok).
+
+    scaled_decode lets libjpeg IDCT straight to the smallest M/8 scale
+    still covering `size` (PIL's Image.draft equivalent): 2-4x fewer
+    pixels decoded+resized on typical downscales, numerically a few LSBs
+    off a full decode. Pass False for bit-parity with the full path."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native preprocessing unavailable")
@@ -83,10 +89,10 @@ def preprocess_batch(buffers: Sequence[bytes], size: int,
     mean_arr = (ctypes.c_float * 3)(*mean)
     std_arr = (ctypes.c_float * 3)(*std)
     blob_buf = ctypes.create_string_buffer(blob, len(blob))
-    lib.otter_preprocess_batch(
+    lib.otter_preprocess_batch2(
         ctypes.cast(blob_buf, ctypes.c_void_p),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, int(is_base64), size, mean_arr, std_arr,
+        n, int(is_base64), size, int(scaled_decode), mean_arr, std_arr,
         out.ctypes.data_as(ctypes.c_void_p),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return out, status

@@ -28,29 +28,49 @@ namespace {
 
 // ── base64 (urlsafe + standard) ─────────────────────────────────────
 
-int b64val(unsigned char c) {
-  if (c >= 'A' && c <= 'Z') return c - 'A';
-  if (c >= 'a' && c <= 'z') return c - 'a' + 26;
-  if (c >= '0' && c <= '9') return c - '0' + 52;
-  if (c == '+' || c == '-') return 62;
-  if (c == '/' || c == '_') return 63;
-  return -1;
-}
+struct B64Table {
+  int8_t v[256];
+  B64Table() {
+    for (int i = 0; i < 256; i++) v[i] = -1;
+    for (int i = 'A'; i <= 'Z'; i++) v[i] = static_cast<int8_t>(i - 'A');
+    for (int i = 'a'; i <= 'z'; i++) v[i] = static_cast<int8_t>(i - 'a' + 26);
+    for (int i = '0'; i <= '9'; i++) v[i] = static_cast<int8_t>(i - '0' + 52);
+    v[static_cast<int>('+')] = v[static_cast<int>('-')] = 62;
+    v[static_cast<int>('/')] = v[static_cast<int>('_')] = 63;
+  }
+};
+const B64Table kB64;
 
 std::vector<uint8_t> base64_decode(const uint8_t* data, size_t len) {
-  std::vector<uint8_t> out;
-  out.reserve(len * 3 / 4 + 3);
+  std::vector<uint8_t> out(len / 4 * 3 + 3);
+  uint8_t* o = out.data();
+  size_t i = 0;
+  // fast path: whole 4-char groups of valid symbols -> 3 bytes, branch-free
+  while (i + 4 <= len) {
+    int a = kB64.v[data[i]], b = kB64.v[data[i + 1]];
+    int c = kB64.v[data[i + 2]], d = kB64.v[data[i + 3]];
+    if ((a | b | c | d) < 0) break;  // padding/whitespace: slow tail below
+    uint32_t v = static_cast<uint32_t>(a) << 18 |
+                 static_cast<uint32_t>(b) << 12 |
+                 static_cast<uint32_t>(c) << 6 | static_cast<uint32_t>(d);
+    o[0] = static_cast<uint8_t>(v >> 16);
+    o[1] = static_cast<uint8_t>(v >> 8);
+    o[2] = static_cast<uint8_t>(v);
+    o += 3;
+    i += 4;
+  }
   int buf = 0, bits = 0;
-  for (size_t i = 0; i < len; i++) {
-    int v = b64val(data[i]);
+  for (; i < len; i++) {
+    int v = kB64.v[data[i]];
     if (v < 0) continue;  // skip padding/whitespace
     buf = (buf << 6) | v;
     bits += 6;
     if (bits >= 8) {
       bits -= 8;
-      out.push_back(static_cast<uint8_t>((buf >> bits) & 0xFF));
+      *o++ = static_cast<uint8_t>((buf >> bits) & 0xFF);
     }
   }
+  out.resize(o - out.data());
   return out;
 }
 
@@ -66,8 +86,13 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
+// target_size > 0 enables scaled-DCT decode: libjpeg IDCTs straight to
+// the smallest M/8 scale whose short side still covers target_size
+// (480x640 -> 224 decodes at 1/2 scale: 4x fewer IDCT outputs and 4x
+// fewer pixels through the resize; PIL's Image.draft does the same).
+// The entropy (Huffman) decode is unavoidable either way.
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
-                 int& w, int& h) {
+                 int& w, int& h, int target_size) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -84,14 +109,24 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (target_size > 0) {
+    int short_side = std::min<int>(cinfo.image_width, cinfo.image_height);
+    int num = 8;
+    while (num > 1 && (short_side * (num - 1)) / 8 >= target_size) num--;
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   w = cinfo.output_width;
   h = cinfo.output_height;
   rgb.resize(static_cast<size_t>(w) * h * 3);
+  std::vector<uint8_t*> rows(cinfo.rec_outbuf_height);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline)
-        * w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+    JDIMENSION y = cinfo.output_scanline;
+    int avail = std::min<int>(cinfo.rec_outbuf_height, h - y);
+    for (int i = 0; i < avail; i++)
+      rows[i] = rgb.data() + (static_cast<size_t>(y) + i) * w * 3;
+    jpeg_read_scanlines(&cinfo, rows.data(), avail);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
@@ -201,17 +236,21 @@ FilterTable build_filter(int in_size, int out_size) {
   return t;
 }
 
-// resize RGB u8 [h, w, 3] -> f32 [out_h, out_w, 3]
-void resize_bicubic(const uint8_t* src, int w, int h, float* dst,
-                    int out_w, int out_h) {
-  FilterTable fx = build_filter(w, out_w);
-  FilterTable fy = build_filter(h, out_h);
-  // horizontal pass: [h, out_w, 3]
-  std::vector<float> tmp(static_cast<size_t>(h) * out_w * 3);
+// resize RGB u8 [h, w, 3] straight to normalized CHW f32 [3, S, S]: the
+// vertical accumulation writes each channel plane directly (clamp +
+// (v - mean)/std fused), skipping the separate HWC buffer + normalize
+// pass otter_preprocess_one used to pay (one full extra read+write of
+// 3*S*S floats per image)
+void resize_bicubic_chw_norm(const uint8_t* src, int w, int h, float* out,
+                             int size, const float* mean,
+                             const float* std_) {
+  FilterTable fx = build_filter(w, size);
+  FilterTable fy = build_filter(h, size);
+  std::vector<float> tmp(static_cast<size_t>(h) * size * 3);
   for (int y = 0; y < h; y++) {
     const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
-    for (int xx = 0; xx < out_w; xx++) {
+    float* trow = tmp.data() + static_cast<size_t>(y) * size * 3;
+    for (int xx = 0; xx < size; xx++) {
       const double* wts = &fx.weights[static_cast<size_t>(xx) * fx.ksize];
       int x0 = fx.starts[xx];
       int kmax = std::min(fx.ksize, w - x0);
@@ -223,52 +262,58 @@ void resize_bicubic(const uint8_t* src, int w, int h, float* dst,
         acc[1] += wv * px[1];
         acc[2] += wv * px[2];
       }
-      trow[xx * 3 + 0] = static_cast<float>(acc[0]);
-      trow[xx * 3 + 1] = static_cast<float>(acc[1]);
-      trow[xx * 3 + 2] = static_cast<float>(acc[2]);
+      trow[xx * 3 + 0] = acc[0];
+      trow[xx * 3 + 1] = acc[1];
+      trow[xx * 3 + 2] = acc[2];
     }
   }
-  // vertical pass: [out_h, out_w, 3]
-  for (int yy = 0; yy < out_h; yy++) {
+  float m[3], inv_s[3];
+  for (int c = 0; c < 3; c++) {
+    m[c] = mean[c] * 255.0f;
+    inv_s[c] = 1.0f / (std_[c] * 255.0f);
+  }
+  std::vector<float> rowacc(static_cast<size_t>(size) * 3);
+  const size_t plane = static_cast<size_t>(size) * size;
+  for (int yy = 0; yy < size; yy++) {
     const double* wts = &fy.weights[static_cast<size_t>(yy) * fy.ksize];
     int y0 = fy.starts[yy];
     int kmax = std::min(fy.ksize, h - y0);
-    float* drow = dst + static_cast<size_t>(yy) * out_w * 3;
     for (int k = 0; k < kmax; k++) {
       float wv = static_cast<float>(wts[k]);
-      const float* trow = &tmp[static_cast<size_t>(y0 + k) * out_w * 3];
+      const float* trow = &tmp[static_cast<size_t>(y0 + k) * size * 3];
       if (k == 0) {
-        for (int xx = 0; xx < out_w * 3; xx++) drow[xx] = wv * trow[xx];
+        for (int xx = 0; xx < size * 3; xx++) rowacc[xx] = wv * trow[xx];
       } else {
-        for (int xx = 0; xx < out_w * 3; xx++) drow[xx] += wv * trow[xx];
+        for (int xx = 0; xx < size * 3; xx++) rowacc[xx] += wv * trow[xx];
+      }
+    }
+    for (int c = 0; c < 3; c++) {
+      float* orow = out + plane * c + static_cast<size_t>(yy) * size;
+      for (int xx = 0; xx < size; xx++) {
+        float v = rowacc[static_cast<size_t>(xx) * 3 + c];
+        v = std::min(std::max(v, 0.0f), 255.0f);
+        orow[xx] = (v - m[c]) * inv_s[c];
       }
     }
   }
 }
 
 bool decode_any(const uint8_t* data, size_t len, std::vector<uint8_t>& rgb,
-                int& w, int& h) {
+                int& w, int& h, int target_size) {
   if (len >= 2 && data[0] == 0xFF && data[1] == 0xD8)
-    return decode_jpeg(data, len, rgb, w, h);
+    return decode_jpeg(data, len, rgb, w, h, target_size);
   if (len >= 8 && !png_sig_cmp(data, 0, 8))
     return decode_png(data, len, rgb, w, h);
   // fall through: try both
-  return decode_jpeg(data, len, rgb, w, h) ||
+  return decode_jpeg(data, len, rgb, w, h, target_size) ||
          decode_png(data, len, rgb, w, h);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode one image (raw or base64 bytes) -> normalized CHW f32 [3, S, S].
-// Returns 0 on success.
-int otter_preprocess_one(const uint8_t* data, int64_t len, int is_base64,
-                         int size, const float* mean, const float* std_,
-                         float* out) {
+int preprocess_one_impl(const uint8_t* data, size_t n, int is_base64,
+                        int size, int scaled_decode, const float* mean,
+                        const float* std_, float* out) {
   std::vector<uint8_t> raw;
   const uint8_t* ptr = data;
-  size_t n = static_cast<size_t>(len);
   if (is_base64) {
     raw = base64_decode(data, n);
     ptr = raw.data();
@@ -276,41 +321,61 @@ int otter_preprocess_one(const uint8_t* data, int64_t len, int is_base64,
   }
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!decode_any(ptr, n, rgb, w, h)) return 1;
-  std::vector<float> hwc(static_cast<size_t>(size) * size * 3);
-  resize_bicubic(rgb.data(), w, h, hwc.data(), size, size);
-  // HWC u8-range -> normalized CHW
-  for (int c = 0; c < 3; c++) {
-    float m = mean[c] * 255.0f;
-    float s = std_[c] * 255.0f;
-    float* oc = out + static_cast<size_t>(c) * size * size;
-    for (int i = 0; i < size * size; i++) {
-      float v = hwc[static_cast<size_t>(i) * 3 + c];
-      v = std::min(std::max(v, 0.0f), 255.0f);
-      oc[i] = (v - m) / s;
-    }
-  }
+  if (!decode_any(ptr, n, rgb, w, h, scaled_decode ? size : 0)) return 1;
+  resize_bicubic_chw_norm(rgb.data(), w, h, out, size, mean, std_);
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one image (raw or base64 bytes) -> normalized CHW f32 [3, S, S].
+// Returns 0 on success. scaled_decode=1 lets libjpeg IDCT straight to
+// the smallest M/8 scale covering `size` (2-4x fewer pixels decoded;
+// bit-different from full decode the way PIL's draft mode is).
+int otter_preprocess_one2(const uint8_t* data, int64_t len, int is_base64,
+                          int size, int scaled_decode, const float* mean,
+                          const float* std_, float* out) {
+  return preprocess_one_impl(data, static_cast<size_t>(len), is_base64,
+                             size, scaled_decode, mean, std_, out);
+}
+
+// Back-compat single-image entry (full decode).
+int otter_preprocess_one(const uint8_t* data, int64_t len, int is_base64,
+                         int size, const float* mean, const float* std_,
+                         float* out) {
+  return preprocess_one_impl(data, static_cast<size_t>(len), is_base64,
+                             size, /*scaled_decode=*/0, mean, std_, out);
 }
 
 // Batched parallel variant. datas: concatenated buffers, offsets [n+1].
 // out: [n, 3, size, size] f32. status: [n] (0 ok). Returns #failures.
-int otter_preprocess_batch(const uint8_t* datas, const int64_t* offsets,
-                           int n, int is_base64, int size,
-                           const float* mean, const float* std_,
-                           float* out, int* status) {
+int otter_preprocess_batch2(const uint8_t* datas, const int64_t* offsets,
+                            int n, int is_base64, int size,
+                            int scaled_decode, const float* mean,
+                            const float* std_, float* out, int* status) {
   int failures = 0;
 #pragma omp parallel for schedule(dynamic) reduction(+ : failures)
   for (int i = 0; i < n; i++) {
     const uint8_t* p = datas + offsets[i];
     int64_t len = offsets[i + 1] - offsets[i];
-    int rc = otter_preprocess_one(
-        p, len, is_base64, size, mean, std_,
-        out + static_cast<size_t>(i) * 3 * size * size);
+    int rc = preprocess_one_impl(
+        p, static_cast<size_t>(len), is_base64, size, scaled_decode,
+        mean, std_, out + static_cast<size_t>(i) * 3 * size * size);
     status[i] = rc;
     if (rc) failures++;
   }
   return failures;
+}
+
+int otter_preprocess_batch(const uint8_t* datas, const int64_t* offsets,
+                           int n, int is_base64, int size,
+                           const float* mean, const float* std_,
+                           float* out, int* status) {
+  return otter_preprocess_batch2(datas, offsets, n, is_base64, size,
+                                 /*scaled_decode=*/0, mean, std_, out,
+                                 status);
 }
 
 }  // extern "C"

@@ -31,7 +31,6 @@ def main():
     from otter_tpu.generation.engine import OtterGenerator
     from otter_tpu.generation.session import ChatSession
     from otter_tpu.models.otter import OtterVLM
-    from otter_tpu.ops.quant import quantize_params
     from otter_tpu.runtime.timing import enable_compile_cache
 
     enable_compile_cache()
@@ -50,13 +49,20 @@ def main():
     load_model = OtterVLM(load_cfg, dtype=jnp.bfloat16)
     vx = jnp.zeros((1, 1, 1, 3, 224, 224), jnp.bfloat16)
     probe = jnp.zeros((1, 8), jnp.int32)
-    shapes = jax.eval_shape(load_model.init, jax.random.PRNGKey(0), vx,
-                            probe)
-    host = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, np.float32), shapes)
-    params = {"params": quantize_params(
-        jax.tree_util.tree_map(jnp.asarray, host)["params"])}
-    del host
+    # zeros directly at the QUANT shapes (int8 kernels + scales) — never
+    # device-materialize the full bf16/f32 tree first (33 GB f32 on a
+    # 16 GB chip; BENCH_NOTES "7B SFT" OOM forensics, bench.py pattern)
+    del load_model
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), vx, probe)
+
+    def mk(s):
+        if s.dtype == jnp.int8:
+            return jnp.zeros(s.shape, jnp.int8)
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, jnp.bfloat16)
+        return jnp.zeros(s.shape, s.dtype)
+
+    params = jax.tree_util.tree_map(mk, shapes)
 
     rng = np.random.default_rng(0)
 

@@ -28,15 +28,21 @@ import numpy as np
 
 
 def zero_int8_params(model, load_model, vx, probe):
+    """Zeros directly at the QUANT model's shapes — never materialize
+    the full f32 tree on device first (33 GB on a 16 GB chip; the exact
+    OOM the first run of this bench hit)."""
     import jax
     import jax.numpy as jnp
-    from otter_tpu.ops.quant import quantize_params
-    shapes = jax.eval_shape(load_model.init, jax.random.PRNGKey(0), vx,
-                            probe)
-    host = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, np.float32), shapes)
-    return {"params": quantize_params(
-        jax.tree_util.tree_map(jnp.asarray, host)["params"])}
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), vx, probe)
+
+    def mk(s):
+        if s.dtype == jnp.int8:
+            return jnp.zeros(s.shape, jnp.int8)
+        if jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, jnp.bfloat16)
+        return jnp.zeros(s.shape, s.dtype)
+
+    return jax.tree_util.tree_map(mk, shapes)
 
 
 def main():
