@@ -314,7 +314,7 @@ class SpeculativeGenerator:
                 return (emitted < max_new) & ~done
 
             def body(st):
-                emitted, done, pos, buffer, cache_t, cache_d = st
+                emitted, done, pos, buffer, cache_t, cache_d, rounds = st
                 if gen.do_sample:
                     n, out, buffer, cache_t, cache_d = \
                         self._round_step_sample(
@@ -334,15 +334,17 @@ class SpeculativeGenerator:
                 n = jnp.minimum(n, max_new - emitted)
                 done = done | jnp.any((out == eos) & (idx < n))
                 return (emitted + n, done, pos + n, buffer, cache_t,
-                        cache_d)
+                        cache_d, rounds + 1)
 
-            st = (jnp.int32(1), done0, pos0, buffer, cache_t, cache_d)
-            emitted, _, _, buffer, _, _ = jax.lax.while_loop(cond, body, st)
+            st = (jnp.int32(1), done0, pos0, buffer, cache_t, cache_d,
+                  jnp.int32(0))
+            emitted, _, _, buffer, _, _, rounds = jax.lax.while_loop(
+                cond, body, st)
             # pad everything past the emitted region (a partially-kept
             # round may leave confirmed-but-uncounted tokens in place)
             cols = jnp.arange(cache_len)[None, :]
             buffer = jnp.where(cols < p + emitted, buffer, pad)
-            return buffer[:, : p + max_new], emitted
+            return buffer[:, : p + max_new], emitted, rounds
 
         return jax.jit(run, donate_argnums=())
 
@@ -432,9 +434,14 @@ class SpeculativeGenerator:
             self._fns[key] = self._build(p, cache_len, gen)
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        out, _ = self._fns[key](self.params_t, self.params_d,
-                                jnp.asarray(vision_x), lang_x,
-                                jnp.asarray(attention_mask), rng)
+        out, emitted, rounds = self._fns[key](
+            self.params_t, self.params_d, jnp.asarray(vision_x), lang_x,
+            jnp.asarray(attention_mask), rng)
+        # measured acceptance telemetry: tokens emitted by speculative
+        # rounds (excludes the prefill's tok0) / rounds run. With real
+        # weights this is THE measured E[tokens/round] (VERDICT r3 #3).
+        self.last_emitted = int(emitted)
+        self.last_rounds = int(rounds)
         return np.asarray(out)
 
     def stream(self, vision_x, lang_x, attention_mask=None,
