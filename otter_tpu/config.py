@@ -31,14 +31,18 @@ class _JsonMixin:
     @classmethod
     def from_dict(cls, d: dict):
         known = {f.name: f for f in dataclasses.fields(cls)}
+        # `from __future__ import annotations` stringizes f.type, so the
+        # nested-dataclass check must go through resolved type hints
+        import typing
+        hints = typing.get_type_hints(cls)
         kwargs = {}
         for k, v in d.items():
             if k not in known:
                 continue
-            f = known[k]
+            t = hints.get(k, known[k].type)
             # Recursively build nested config dataclasses.
-            if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-                kwargs[k] = f.type.from_dict(v)
+            if dataclasses.is_dataclass(t) and isinstance(v, dict):
+                kwargs[k] = t.from_dict(v)
             else:
                 kwargs[k] = v
         return cls(**kwargs)

@@ -18,6 +18,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU test jits: the fast gating tier
+# (`-m "not slow"`) is compile-dominated on one core, so a warm
+# `.jax_cache_tests/` is what makes it fit its ~3-minute budget. Cold
+# bootstrap (first run, or after a JAX upgrade) recompiles everything —
+# see ROADMAP "CI timing note".
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

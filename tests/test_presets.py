@@ -88,3 +88,17 @@ def test_preset_converter_roundtrip(rng, name):
     assert set(back) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(back[k], flat[k], err_msg=k)
+
+
+def test_config_dict_roundtrip_reconstructs_nested_dataclasses():
+    """from_dict must rebuild VisionConfig/TextConfig/PerceiverConfig as
+    dataclasses, not leave them as dicts (regression: stringized
+    annotations made the is_dataclass(f.type) check always False, so
+    OtterConfig.load / sft --model_config JSON produced configs whose
+    .vision.hidden_size raised AttributeError)."""
+    cfg = OtterConfig.tiny("mpt")
+    back = OtterConfig.from_dict(cfg.to_dict())
+    assert back == cfg
+    assert not isinstance(back.vision, dict)
+    assert not isinstance(back.text, dict)
+    assert not isinstance(back.perceiver, dict)

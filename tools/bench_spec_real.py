@@ -114,7 +114,10 @@ def main():
         prompts.append(ids)
     vx = jnp.zeros((1, 1, 1, 3, 28, 28), jnp.bfloat16)
 
-    new_short, new_long = 16, 128
+    # tiny models decode in ~1 ms/step, so the marginal window must be
+    # wide enough that (t_long - t_short) >> relay jitter (~10 ms);
+    # 896 keeps p + new + gamma + 2 within the pair's max_seq_len 1024
+    new_short, new_long = 128, 896
 
     # ── 1. b=1 target-only greedy baseline ──────────────────────────
     eng = OtterGenerator(model_t, params_t, cfg_t)
@@ -171,9 +174,11 @@ def main():
     # ── 4. slot pool: plain vs spec, real acceptance ────────────────
     slots = args.slots
 
+    pool_short, pool_long = 32, 160
+
     def aggregate_rate(batcher):
         ts = {}
-        for new in (new_short, 48):
+        for new in (pool_short, pool_long):
             gen = GenerationConfig(max_new_tokens=new, do_sample=False,
                                    eos_token_id=-1)
 
@@ -200,7 +205,8 @@ def main():
                 run_all()
                 runs.append(time.perf_counter() - t0)
             ts[new] = float(np.median(runs))
-        return slots * (48 - new_short) / (ts[48] - ts[new_short])
+        return slots * (pool_long - pool_short) / (ts[pool_long]
+                                                   - ts[pool_short])
 
     plain = ContinuousBatcher(model_t, params_t, cfg_t, num_slots=slots,
                               cache_len=256, buckets=(p,))
