@@ -61,8 +61,17 @@ def main():
 
     b = 8
     if l2048:
-        p = 1920                        # prompt fills the cache to 2048
-        new_short, new_long = 16, 128   # both round to the same 2048 cache
+        # Short prompt + long decode windows, both rounding to a 2048
+        # cache: the marginal steps sit at positions 1928..2048 reading
+        # the FULL 2048-slot cache (decode traffic is cache_len-static),
+        # so this measures steady-state decode at L=2048 without a
+        # b8 x 1920-token one-shot prefill — which OOMs: XLA rewrites
+        # the 32 per-layer cache DUSes against the freshly-zeroed cache
+        # into full-cache pad+copy temps (2x 2.0 GB observed), blowing
+        # the 15.75G HBM. Production long prompts go through the
+        # continuous batcher's chunked prefill, which writes per-chunk.
+        p = 128
+        new_short, new_long = 1800, 1920
     else:
         p = 128
         new_short, new_long = 16, 128   # both round to the same 256 cache

@@ -35,11 +35,21 @@ from otter_tpu.ops.masks import DEFAULT_MASK_VALUE
 NUM_LANES = 128
 
 
-def _default_block_h(h: int, d: int, block_k: int) -> int:
-    """Heads per grid step: target ~0.5 MB of k-block per step so the
+def _default_block_h(h: int, d: int, block_k: int, itemsize: int = 2
+                     ) -> int:
+    """Heads per grid step: target ~1 MB of k-block per step so the
     HBM read per grid step dwarfs the per-step floor, capped so (k, v,
-    double-buffering) stays well under VMEM."""
-    target = max(1, (512 * 1024) // max(1, block_k * d * 2))
+    double-buffering) stays well under VMEM.
+
+    Tuned on-chip at 7B dims b8/H32/d128/L2048 (round 4,
+    tools/bench_decode_blocks.py): the former 0.5 MB target put the
+    int8 cache at 51% of its bandwidth SOL (grid-step floor bound,
+    8192 steps/decode-step); the 1 MB target lands int8 at 81% and
+    bf16 at 90% with the block_k=min(1024, L) default below. Larger
+    blocks (2048x8 int8: 112% of nominal SOL) win another ~27% on
+    full caches but halve the block-skip granularity the continuous
+    batcher's short rows rely on, and push VMEM limits at bf16."""
+    target = max(1, (1024 * 1024) // max(1, block_k * d * itemsize))
     bh = 1
     while bh * 2 <= target and h % (bh * 2) == 0:
         bh *= 2
@@ -49,7 +59,7 @@ def _default_block_h(h: int, d: int, block_k: int) -> int:
 def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                      k_scale=None, v_scale=None, kv_bits: int = 8,
                      layer: Optional[int] = None,
-                     sm_scale=None, block_k: int = 512,
+                     sm_scale=None, block_k: Optional[int] = None,
                      block_h: Optional[int] = None,
                      mask_value: float = DEFAULT_MASK_VALUE,
                      interpret: bool = False):
@@ -89,12 +99,14 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     L = k.shape[3] if stacked else k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
-    block_k = min(block_k, L)
+    if block_k is None:
+        block_k = 1024        # on-chip optimum at 7B dims (see
+    block_k = min(block_k, L)  # _default_block_h docstring)
     while L % block_k:
         block_k //= 2
     num_kv = L // block_k
     if block_h is None:
-        block_h = _default_block_h(h, d, block_k)
+        block_h = _default_block_h(h, d, block_k, k.dtype.itemsize)
     while h % block_h:
         block_h //= 2
     num_h = h // block_h

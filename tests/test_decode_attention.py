@@ -103,3 +103,19 @@ def test_decoder_decode_kernel_matches_einsum(rng):
     ref = run(m_ref)
     ker = run(m_ker)
     np.testing.assert_allclose(ker, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_decode_attention_round4_default_blocks(rng):
+    """The round-4 defaults (block_k=min(1024,L), ~1MB block_h target)
+    must stay numerically exact at a multi-block L with mixed lengths —
+    the b8/L2048 serving shape they were tuned on, downscaled to b2/h8
+    for interpret mode."""
+    b, h, d, L = 2, 8, 128, 2048
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    lengths = jnp.asarray([300, L - 64], jnp.int32)  # short + near-full
+    out = decode_attention(q, k, v, lengths, interpret=True)
+    ref = _ref(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
