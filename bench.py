@@ -59,7 +59,7 @@ def main():
         cfg = cfg.replace(text=cfg.text.replace(decode_kernel="auto"))
         os.environ.setdefault("OTTER_CACHE_BIT", "int8")
 
-    b = 8
+    b = int(os.environ.get("OTTER_BENCH_B", "8"))
     if l2048:
         # Short prompt + long decode windows, both rounding to a 2048
         # cache: the marginal steps sit at positions 1928..2048 reading
@@ -147,7 +147,8 @@ def main():
     sol_tps = b / sol_step
 
     print(json.dumps({
-        "metric": "otter_mpt7b_int8_decode_tokens_per_sec_b8_L2048_int8cache"
+        "metric": f"otter_mpt7b_int8_decode_tokens_per_sec_b{b}_L2048_"
+                  f"{cache_bit}cache"
         if l2048 else "otter_mpt7b_int8_decode_tokens_per_sec_b8",
         "value": round(tps, 2),
         "unit": "tokens/s",

@@ -849,7 +849,14 @@ def init_cache(cfg: TextConfig, batch: int, max_len: int,
     if dtype == jnp.int8:
         cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
         cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
-    return cache
+    # Hide the known-zeros provenance from XLA when this runs inside a
+    # jit (the engine creates caches inside its generate jits): without
+    # the barrier, XLA rewrites the prefill's 32 per-layer
+    # dynamic-update-slices against a broadcast(0) base into full-cache
+    # pad+copy temps — 2x 2.0 GB HLO temps at b8/L2048 int8, which blew
+    # the 15.75G HBM (round-4 OOM forensics, BENCH_NOTES). Behind the
+    # barrier the writes stay in-place DUS on one buffer.
+    return jax.lax.optimization_barrier(cache)
 
 
 def cache_len_of(cache) -> int:
