@@ -52,7 +52,8 @@ def main():
     from otter_tpu.runtime.timing import enable_compile_cache
 
     enable_compile_cache()
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    nums = [a for a in sys.argv[1:] if a.isdigit()]
+    iters = int(nums[0]) if nums else 50
 
     cfg = otter_mpt7b()
     t = cfg.text
@@ -61,17 +62,26 @@ def main():
     nl = t.num_hidden_layers
     V = t.vocab_size
 
-    key = jax.random.PRNGKey(0)
-    # int8 decode-path weights at the exact shapes (values irrelevant)
-    Wqkv = [jnp.zeros((d, 3 * d), jnp.int8) for _ in range(nl)]
-    Wo = [jnp.zeros((d, d), jnp.int8) for _ in range(nl)]
-    W1 = [jnp.zeros((d, 4 * d), jnp.int8) for _ in range(nl)]
-    W2 = [jnp.zeros((4 * d, d), jnp.int8) for _ in range(nl)]
-    head = jnp.zeros((V, d), jnp.bfloat16)          # tied wte read
-    cache = jnp.zeros((nl, 2, b, L, d), jnp.bfloat16)
+    # Allocate LAZILY per measurement: the synthetic weight set (6.9 GB)
+    # plus the real decoder's params (another ~7 GB) together exceed the
+    # chip; only --bare-dots materializes the synthetic set.
+    def make_weights():
+        Wqkv = [jnp.zeros((d, 3 * d), jnp.int8) for _ in range(nl)]
+        Wo = [jnp.zeros((d, d), jnp.int8) for _ in range(nl)]
+        W1 = [jnp.zeros((d, 4 * d), jnp.int8) for _ in range(nl)]
+        W2 = [jnp.zeros((4 * d, d), jnp.int8) for _ in range(nl)]
+        head = jnp.zeros((V, d), jnp.bfloat16)      # tied wte read
+        return (Wqkv, Wo, W1, W2, head)
 
-    def dots_body(x):
+    def make_cache():
+        return jnp.zeros((nl, 2, b, L, d), jnp.bfloat16)
+
+    weights = make_weights() if "--bare-dots" in sys.argv else None
+    cache = make_cache()
+
+    def dots_body(x, W):
         """One decode step's weight stream as bare dots."""
+        Wqkv, Wo, W1, W2, head = W
         for i in range(nl):
             qkv = jnp.dot(x, Wqkv[i].astype(jnp.bfloat16))
             x = jnp.tanh(qkv[:, :d])
@@ -83,10 +93,10 @@ def main():
 
     def build_dots(n):
         @jax.jit
-        def run(x):
-            return lax.fori_loop(0, n, lambda i, x: dots_body(x), x)
+        def run(x, W):
+            return lax.fori_loop(0, n, lambda i, x: dots_body(x, W), x)
         x0 = jnp.zeros((b, d), jnp.bfloat16)
-        return lambda: np.asarray(run(x0))
+        return lambda: np.asarray(run(x0, weights))
 
     def cache_body(x, cache, pos):
         for i in range(nl):
@@ -104,15 +114,15 @@ def main():
 
     def build_dots_cache(n):
         @jax.jit
-        def run(x, cache):
+        def run(x, cache, W):
             def body(i, st):
                 x, cache = st
-                x = dots_body(x)
+                x = dots_body(x, W)
                 x, cache = cache_body(x, cache, 128)
                 return (x, cache)
             return lax.fori_loop(0, n, body, (x, cache))
         x0 = jnp.zeros((b, d), jnp.bfloat16)
-        return lambda: np.asarray(run(x0, cache)[0])
+        return lambda: np.asarray(run(x0, cache, weights)[0])
 
     def build_cache_only(n):
         @jax.jit
@@ -152,23 +162,32 @@ def main():
             return lax.fori_loop(0, n, body, (tok, c))
         return lambda: np.asarray(run(params, ids1, c0)[0])
 
-    wbytes = (sum(w.size for w in Wqkv + Wo + W1 + W2)
-              + head.size * 2)
-    cbytes = cache.size * 2
+    wbytes = nl * (d * 3 * d + d * d + d * 4 * d + 4 * d * d) \
+        + V * d * 2
+    cbytes = nl * 2 * b * L * d * 2
     spec = 819e9
     print(f"weight stream {wbytes/1e9:.2f} GB, cache {cbytes/1e9:.2f} GB"
           f" -> SOL {1e3*(wbytes+cbytes)/spec:.2f} ms/step @819 GB/s")
-    for name, builder, byts in (
-            ("bare-dots (weights only)", build_dots, wbytes),
-            ("cache-einsums only", build_cache_only, cbytes),
-            ("dots+cache (full traffic)", build_dots_cache,
-             wbytes + cbytes),
-            ("real decoder step (carried cache)", build_decoder,
-             wbytes + cbytes)):
+    # NOTE: a "bare jnp.dot" weight-stream floor was tried and REMOVED:
+    # standalone convert-then-dot loops measure 100+ ms/step because XLA
+    # materializes the int8->bf16 weight converts it fuses in the real
+    # model's graph (and the 13.7 GB of bf16 temps OOM the follow-up
+    # builders). The meaningful floors are the real decoder (whose int8
+    # paths use the tuned Pallas/XLA routes) and the cache einsums.
+    measure = [
+        ("cache-einsums only", build_cache_only, cbytes),
+        ("real decoder step (carried cache)", build_decoder,
+         wbytes + cbytes),
+    ]
+    if "--bare-dots" in sys.argv:
+        measure = [("bare-dots (weights only)", build_dots, wbytes),
+                   ("dots+cache", build_dots_cache, wbytes + cbytes)
+                   ] + measure
+    for name, builder, byts in measure:
         ms = marginal(builder, iters) * 1e3
         bw = byts / (ms / 1e3) / 1e9
         print(f"{name}: {ms:.3f} ms  ({bw:.0f} GB/s = "
-              f"{bw/8.19:.1f}% of spec)")
+              f"{bw/8.19:.1f}% of spec)", flush=True)
 
 
 if __name__ == "__main__":
