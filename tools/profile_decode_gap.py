@@ -52,12 +52,16 @@ def main():
     from otter_tpu.runtime.timing import enable_compile_cache
 
     enable_compile_cache()
+    # argv: [iters] [b] [L] [cache_bit]  (digits positional, flags free)
     nums = [a for a in sys.argv[1:] if a.isdigit()]
     iters = int(nums[0]) if nums else 50
+    argb = int(nums[1]) if len(nums) > 1 else 8
+    argL = int(nums[2]) if len(nums) > 2 else 256
+    cache_bit = "int8" if "--int8-cache" in sys.argv else "bf16"
 
     cfg = otter_mpt7b()
     t = cfg.text
-    b, L, d, H = 8, 256, t.hidden_size, t.num_attention_heads
+    b, L, d, H = argb, argL, t.hidden_size, t.num_attention_heads
     dh = d // H
     nl = t.num_hidden_layers
     V = t.vocab_size
@@ -77,7 +81,10 @@ def main():
         return jnp.zeros((nl, 2, b, L, d), jnp.bfloat16)
 
     weights = make_weights() if "--bare-dots" in sys.argv else None
-    cache = make_cache()
+    # the synthetic bf16 cache backs only the cache-einsum measurements;
+    # --int8-cache runs measure the real decoder alone (a second 4+ GB
+    # synthetic cache would blow the chip at b4/L2048)
+    cache = None if "--int8-cache" in sys.argv else make_cache()
 
     def dots_body(x, W):
         """One decode step's weight stream as bare dots."""
@@ -136,12 +143,15 @@ def main():
 
     # full real decoder step with the cache threaded through the carry
     from otter_tpu.models.decoder import Decoder, init_cache
-    dec = Decoder(t.replace(quant="int8"), otter_cfg=None,
-                  dtype=jnp.bfloat16)
+    dk = "auto" if cache_bit == "int8" else t.decode_kernel
+    dec = Decoder(t.replace(quant="int8", decode_kernel=dk),
+                  otter_cfg=None, dtype=jnp.bfloat16)
     ids1 = jnp.zeros((b, 1), jnp.int32)
-    c0 = init_cache(t, b, L, jnp.bfloat16)
-    kv_valid = jnp.asarray(np.arange(L)[None, :] <= 128).repeat(b, 0)
-    pos = jnp.full((b, 1), 128, jnp.int32)
+    c0 = init_cache(t, b, L, cache_bit if cache_bit == "int8"
+                    else jnp.bfloat16)
+    ctx = min(128, L - 8) if L <= 256 else L - 64
+    kv_valid = jnp.asarray(np.arange(L)[None, :] <= ctx).repeat(b, 0)
+    pos = jnp.full((b, 1), ctx, jnp.int32)
     shapes = jax.eval_shape(dec.init, jax.random.PRNGKey(0), ids1,
                             cache=c0, cache_pos=128, kv_valid=kv_valid,
                             positions=pos)
@@ -155,7 +165,7 @@ def main():
             def body(i, st):
                 tok, c = st
                 logits, c = dec.apply(params, tok, cache=c,
-                                      cache_pos=128, kv_valid=kv_valid,
+                                      cache_pos=ctx, kv_valid=kv_valid,
                                       positions=pos)
                 return (jnp.argmax(logits[:, -1:], -1).astype(jnp.int32),
                         c)
@@ -164,7 +174,9 @@ def main():
 
     wbytes = nl * (d * 3 * d + d * d + d * 4 * d + 4 * d * d) \
         + V * d * 2
-    cbytes = nl * 2 * b * L * d * 2
+    cbytes = nl * 2 * b * L * d * (1 if cache_bit == "int8" else 2)
+    if cache_bit == "int8":
+        cbytes += 2 * b * nl * H * L * 4           # f32 scales
     spec = 819e9
     print(f"weight stream {wbytes/1e9:.2f} GB, cache {cbytes/1e9:.2f} GB"
           f" -> SOL {1e3*(wbytes+cbytes)/spec:.2f} ms/step @819 GB/s")
@@ -175,10 +187,12 @@ def main():
     # builders). The meaningful floors are the real decoder (whose int8
     # paths use the tuned Pallas/XLA routes) and the cache einsums.
     measure = [
-        ("cache-einsums only", build_cache_only, cbytes),
         ("real decoder step (carried cache)", build_decoder,
          wbytes + cbytes),
     ]
+    if cache is not None:
+        measure = [("cache-einsums only", build_cache_only, cbytes)
+                   ] + measure
     if "--bare-dots" in sys.argv:
         measure = [("bare-dots (weights only)", build_dots, wbytes),
                    ("dots+cache", build_dots_cache, wbytes + cbytes)
