@@ -52,7 +52,13 @@ def main():
         quant="int8", decode_kernel=dk, megakernel=mk_on))
     model = OtterVLM(cfg, dtype=jnp.bfloat16)
 
-    l2048 = os.environ.get("OTTER_BENCH_L2048", "0") == "1"
+    # OTTER_BENCH_L=N generalizes the long-cache variant to any cache
+    # length (1024/2048 rows in BENCH_NOTES); OTTER_BENCH_L2048=1 is the
+    # documented alias for N=2048
+    Lc = int(os.environ.get("OTTER_BENCH_L", "0"))
+    if os.environ.get("OTTER_BENCH_L2048", "0") == "1":
+        Lc = Lc or 2048
+    l2048 = Lc >= 1024
     if l2048:
         # serving-realistic regime: long cache, quantized cache, Pallas
         # decode kernel via "auto" (crossover ~1k — BENCH_NOTES r3)
@@ -71,7 +77,7 @@ def main():
         # the 15.75G HBM. Production long prompts go through the
         # continuous batcher's chunked prefill, which writes per-chunk.
         p = 128
-        new_short, new_long = 1800, 1920
+        new_short, new_long = Lc - p - 120, Lc - p
     else:
         p = 128
         new_short, new_long = 16, 128   # both round to the same 256 cache
@@ -136,7 +142,7 @@ def main():
     vis = sum(x.size for kk in ("vision_encoder", "perceiver")
               for x in jax.tree_util.tree_leaves(params["params"][kk]))
     decode_bytes = n_int8 + (n_bf16 - vis) * 2
-    cache_len = 2048 if l2048 else 256
+    cache_len = Lc if l2048 else 256
     # bytes per element of cache read: bf16=2, int8=1 (+f32 scales/128),
     # int4=0.5 fused (+scales)
     cache_elem = {"bf16": 2.0, "int8": 1.0 + 4.0 / 128,
@@ -147,7 +153,7 @@ def main():
     sol_tps = b / sol_step
 
     print(json.dumps({
-        "metric": f"otter_mpt7b_int8_decode_tokens_per_sec_b{b}_L2048_"
+        "metric": f"otter_mpt7b_int8_decode_tokens_per_sec_b{b}_L{Lc}_"
                   f"{cache_bit}cache"
         if l2048 else "otter_mpt7b_int8_decode_tokens_per_sec_b8",
         "value": round(tps, 2),

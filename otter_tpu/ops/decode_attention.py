@@ -109,9 +109,21 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
         block_h = _default_block_h(h, d, block_k, k.dtype.itemsize)
     while h % block_h:
         block_h //= 2
-    num_h = h // block_h
     has_bias = bias is not None
     quant = k_scale is not None
+    if (quant or has_bias) and block_h % 8 and block_h != h:
+        # scale/bias blocks are rank-3 [.., block_h, block_k] f32: Mosaic
+        # requires the last two block dims divisible by (8, 128) or equal
+        # to the array dims, so the head block must be 8-aligned (or all
+        # of h when h itself is small/odd)
+        block_h = 8 if h % 8 == 0 else h
+        # keep the k/v blocks ~2 MB after the clamp so double-buffered
+        # streams still fit VMEM (the bf16 block_k=1024 x block_h=8 case)
+        while (block_k > 256
+               and block_h * block_k * d * k.dtype.itemsize > 2 << 20):
+            block_k //= 2
+        num_kv = L // block_k
+    num_h = h // block_h
     if quant:
         assert k.dtype == jnp.int8 and v.dtype == jnp.int8
     if starts is None:
@@ -123,18 +135,15 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     if stacked:
         kv_spec = pl.BlockSpec((1, 1, block_h, block_k, d_kv),
                                lambda b, hh, j, *_: (b, layer, hh, j, 0))
-        if quant:
-            # scales are ~d/8 of the cache bytes — the strided layer slice
-            # is cheap; only k/v ride the zero-copy stacked index map
-            k_scale = k_scale[:, layer]
-            v_scale = v_scale[:, layer]
+        # scales ride the same zero-copy stacked index map as k/v: no
+        # per-layer slice and no sublane replication ever touches HBM
+        sc_spec = pl.BlockSpec((1, 1, block_h, block_k),
+                               lambda b, hh, j, *_: (b, layer, hh, j))
     else:
         kv_spec = pl.BlockSpec((1, block_h, block_k, d_kv),
                                lambda b, hh, j, *_: (b, hh, j, 0))
-    sc_spec = pl.BlockSpec((1, block_h, 8, block_k),
-                           lambda b, hh, j, *_: (b, hh, 0, j))
-    sc_expand = lambda sc: jnp.broadcast_to(
-        sc.astype(jnp.bfloat16)[:, :, None, :], (bsz, h, 8, L))
+        sc_spec = pl.BlockSpec((1, block_h, block_k),
+                               lambda b, hh, j, *_: (b, hh, j))
 
     in_specs = [
         pl.BlockSpec((1, block_h, 8, d), lambda b, hh, j, *_: (b, hh, 0, 0)),
@@ -145,23 +154,23 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
         in_specs.append(kv_spec)
         args.append(v)
     if has_bias:
-        # sublane-replicate the per-head column bias so the block shape
-        # satisfies the TPU (8, 128) tiling minimum
-        bias8 = jnp.broadcast_to(
-            bias.astype(jnp.float32)[:, :, None, :],
-            (bsz, h, 8, L))
-        in_specs.append(pl.BlockSpec(
-            (1, block_h, 8, block_k),
-            lambda b, hh, j, *_: (b, hh, 0, j)))
-        args.append(bias8)
+        # per-head column bias as a rank-3 [B, H, L] block; the 8-sublane
+        # replication the q/logits tile needs happens IN-REGISTER inside
+        # the kernel. The former [B, H, 8, L] HBM layout re-materialized
+        # the broadcast every step (pallas inputs are real buffers):
+        # write+read of 8x-inflated bias+scales measured ~1.3 ms/step of
+        # pure overhead at 7B b8/L2048 int8 (BENCH_NOTES r4).
+        bias3 = jnp.broadcast_to(bias.astype(jnp.float32), (bsz, h, L))
+        in_specs.append(pl.BlockSpec((1, block_h, block_k),
+                                     lambda b, hh, j, *_: (b, hh, j)))
+        args.append(bias3)
     if quant:
-        # per-key-position scales, sublane-replicated like the bias.
-        # bf16 on the wire: the replication makes scale traffic 8/d of
-        # the values' (25% of the int8 savings at d=128 in f32); scale
-        # precision only perturbs the already ~1% int8 error
+        # per-key-position scales, read straight from the cache's own
+        # [B(, nl), H, L] f32 arrays (see sc_spec) — no cast, no
+        # replication, no per-layer slice
         for sc in (k_scale, v_scale):
             in_specs.append(sc_spec)
-            args.append(sc_expand(sc))
+            args.append(sc)
 
     def kernel(lengths_ref, starts_ref, *refs):
         it = iter(refs)
@@ -200,10 +209,12 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                 s = lax.dot_general(qq, kk, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
                 if quant:
-                    s *= ks_ref[0, hh]            # per-key-row dequant
+                    ks = (ks_ref[0, 0, hh] if stacked
+                          else ks_ref[0, hh])     # [block_k] f32
+                    s *= ks[None, :]              # per-key-row dequant
                 s *= sm_scale                     # [8, block_k]
                 if bias_ref is not None:
-                    s += bias_ref[0, hh]
+                    s += bias_ref[0, hh][None, :]
                 s = jnp.where(col_ok, s, mask_value)
 
                 m_prev = m_scr[hh]
@@ -221,7 +232,9 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                 vv = v_ref[0, 0, hh] if stacked else v_ref[0, hh]
                 if quant:
                     # fold the per-value-row scale into the probability row
-                    p = p * vs_ref[0, hh]
+                    vs = (vs_ref[0, 0, hh] if stacked
+                          else vs_ref[0, hh])     # [block_k] f32
+                    p = p * vs[None, :]
                     if int4:
                         # high nibbles = v; arithmetic shift keeps sign
                         vv = (vv.astype(jnp.int32) >> 4).astype(qq.dtype)
