@@ -233,7 +233,8 @@ class MimicitDataset:
                     [s.encode() if isinstance(s, str) else s
                      for s in b64_list],
                     self.patch_image_size, tuple(self.mean),
-                    tuple(self.std), is_base64=True)
+                    tuple(self.std), is_base64=True,
+                    scaled_decode=True)   # training pipeline: opt-in
                 if (status == 0).all():
                     return out
         except Exception:

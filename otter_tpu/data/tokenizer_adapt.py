@@ -65,8 +65,14 @@ def adapt_for_otter(tokenizer, *, add_answer_token: bool = True
     before = len(tokenizer)
     specials = list(OTTER_SPECIAL_TOKENS if add_answer_token
                     else OTTER_SPECIAL_TOKENS[:2])
+    # replace_additional_special_tokens=False: HF's default REPLACE
+    # semantics would strip special status from tokens the tokenizer
+    # already carries (e.g. Qwen/ChatML's own additional_special_tokens),
+    # breaking the idempotent-for-arbitrary-tokenizers contract
+    # (advisor r4)
     tokenizer.add_special_tokens(
-        {"additional_special_tokens": specials})
+        {"additional_special_tokens": specials},
+        replace_additional_special_tokens=False)
     if tokenizer.pad_token is None:
         if tokenizer.eos_token is not None:
             tokenizer.pad_token = tokenizer.eos_token

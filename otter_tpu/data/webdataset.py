@@ -222,8 +222,12 @@ class ShardPipeline:
         from otter_tpu.data.templates import FLAMINGO_MEAN, FLAMINGO_STD
 
         size = getattr(self.preprocess, "patch_size", 224)
+        # training pipeline: throughput-sensitive, opt into scaled-DCT
+        # decode (a few LSBs off full decode; eval paths stay bit-stable
+        # on the library default False)
         out, status = native.preprocess_batch(raw, size, FLAMINGO_MEAN,
-                                              FLAMINGO_STD)
+                                              FLAMINGO_STD,
+                                              scaled_decode=True)
         for i in np.nonzero(status)[0]:
             from PIL import Image
             img = Image.open(io.BytesIO(raw[i])).convert("RGB")
@@ -307,7 +311,8 @@ def make_interleaved_preprocessor(tokenizer, *, media_token_id: int,
             from otter_tpu.data.templates import (FLAMINGO_MEAN,
                                                   FLAMINGO_STD)
             out, status = native.preprocess_batch(
-                raws, patch_size, FLAMINGO_MEAN, FLAMINGO_STD)
+                raws, patch_size, FLAMINGO_MEAN, FLAMINGO_STD,
+                scaled_decode=True)   # training pipeline: opt-in
             arrs = list(out)
             bad = np.nonzero(status)[0]
         else:

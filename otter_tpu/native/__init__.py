@@ -68,7 +68,7 @@ def preprocess_batch(buffers: Sequence[bytes], size: int,
                      mean: Tuple[float, float, float],
                      std: Tuple[float, float, float],
                      is_base64: bool = False,
-                     scaled_decode: bool = True
+                     scaled_decode: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """buffers of encoded images (or base64 text) -> ([N,3,S,S] f32,
     status [N] int32 with 0=ok).
@@ -76,7 +76,10 @@ def preprocess_batch(buffers: Sequence[bytes], size: int,
     scaled_decode lets libjpeg IDCT straight to the smallest M/8 scale
     still covering `size` (PIL's Image.draft equivalent): 2-4x fewer
     pixels decoded+resized on typical downscales, numerically a few LSBs
-    off a full decode. Pass False for bit-parity with the full path."""
+    off a full decode. Default False: bit-stable pixels for every caller
+    (eval scores must not drift with a library default — advisor r4);
+    the throughput-sensitive training pipelines (webdataset/mimicit
+    collate) opt in explicitly."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native preprocessing unavailable")

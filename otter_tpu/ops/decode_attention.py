@@ -104,6 +104,14 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
     block_k = min(block_k, L)  # _default_block_h docstring)
     while L % block_k:
         block_k //= 2
+    if block_k % 128 and block_k != L:
+        # Mosaic lowering: the scale/bias blocks are [.., block_h,
+        # block_k] with block_k MINOR, which must be a multiple of 128
+        # or the full array dim. The halving loop can land elsewhere
+        # (L=2112 -> 64 — advisor r4); clamp to the largest 128-multiple
+        # divisor of L, else take the whole cache in one block.
+        block_k = next((bk for bk in (2048, 1024, 512, 256, 128)
+                        if bk <= L and L % bk == 0), L)
     num_kv = L // block_k
     if block_h is None:
         block_h = _default_block_h(h, d, block_k, k.dtype.itemsize)

@@ -54,7 +54,7 @@ def main():
                 out, status = native.preprocess_batch(
                     [s.encode() for s in b64s], 224,
                     (0.481, 0.458, 0.408), (0.269, 0.261, 0.276),
-                    is_base64=True)
+                    is_base64=True, scaled_decode=True)
                 assert (status == 0).all()
             print(f"native: {timed(nat):.1f} img/s")
     except Exception as e:

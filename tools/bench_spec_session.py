@@ -39,7 +39,11 @@ def zero_int8_params(model, load_model, vx, probe):
         if s.dtype == jnp.int8:
             return jnp.zeros(s.shape, jnp.int8)
         if jnp.issubdtype(s.dtype, jnp.floating):
-            return jnp.zeros(s.shape, jnp.bfloat16)
+            # preserve the checkpoint dtype (norm/quant scale leaves are
+            # f32 in real checkpoints; a blanket bf16 downcast changes
+            # the compiled program's dtype layout vs production serving
+            # -- advisor r4)
+            return jnp.zeros(s.shape, s.dtype)
         return jnp.zeros(s.shape, s.dtype)
 
     return jax.tree_util.tree_map(mk, shapes)
