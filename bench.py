@@ -111,20 +111,28 @@ def main():
                    "int4": "int4"}[cache_bit]
     eng = OtterGenerator(model, params, cfg, cache_dtype=cache_dtype)
 
-    def window(new):
-        gen = GenerationConfig(max_new_tokens=new, do_sample=False,
-                               eos_token_id=-1)
-        eng.generate(vision_x, lang_x, gen=gen)   # compile + warm
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            eng.generate(vision_x, lang_x, gen=gen)
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+    def timed(gen):
+        t0 = time.perf_counter()
+        eng.generate(vision_x, lang_x, gen=gen)
+        return time.perf_counter() - t0
 
-    t_short = window(new_short)
-    t_long = window(new_long)
-    step = (t_long - t_short) / (new_long - new_short)
+    gen_s = GenerationConfig(max_new_tokens=new_short, do_sample=False,
+                             eos_token_id=-1)
+    gen_l = GenerationConfig(max_new_tokens=new_long, do_sample=False,
+                             eos_token_id=-1)
+    timed(gen_s)   # compile + warm
+    timed(gen_l)
+    # median of 3 PAIRED marginal-window estimates (VERDICT r4 #5): one
+    # short/long pair per repetition so slow drift (tunnel relay load,
+    # thermal) cancels within each estimate instead of biasing a single
+    # short-median/long-median difference; the ±2-5% single-pair wobble
+    # (615.6 vs a same-session best of 623.2 in r4) medians out.
+    steps = []
+    for _ in range(3):
+        t_short = timed(gen_s)
+        t_long = timed(gen_l)
+        steps.append((t_long - t_short) / (new_long - new_short))
+    step = float(np.median(steps))
     tps = b / step
 
     # speed-of-light: one decode step reads every decode-path weight once
@@ -149,6 +157,19 @@ def main():
                   "int4": 0.5 + 4.0 / 128}[cache_bit]
     cache_bytes = int(cfg.text.num_hidden_layers * 2 * cache_len
                       * cfg.text.hidden_size * cache_elem)
+    # the engine may have DEGRADED the cache precision to fit HBM
+    # (degrade-not-die, engine.select_cache_dtype — b8/L2048 int8 does
+    # not fit one 16G chip and now serves on the fused int4 cache
+    # instead of killing the worker); report the EFFECTIVE bit so the
+    # metric name and roofline match what actually ran
+    from otter_tpu.generation.engine import _cache_name
+    eff = eng._cache_dtypes and list(eng._cache_dtypes.values())[0]
+    if eff:
+        cache_bit = _cache_name(eff)
+        cache_elem = {"bf16": 2.0, "int8": 1.0 + 4.0 / 128,
+                      "int4": 0.5 + 4.0 / 128}[cache_bit]
+        cache_bytes = int(cfg.text.num_hidden_layers * 2 * cache_len
+                          * cfg.text.hidden_size * cache_elem)
     sol_step = (decode_bytes + b * cache_bytes) / 819e9
     sol_tps = b / sol_step
 

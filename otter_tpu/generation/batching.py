@@ -196,6 +196,17 @@ class ContinuousBatcher:
         else:
             self.model_d = self.params_d = self.cfg_d = None
         self.gamma = spec_gamma
+        # degrade-not-die: a fixed (num_slots, cache_len, cache_dtype)
+        # whose pool does not fit HBM drops cache precision one step
+        # (bf16 -> int8 -> int4, warned) before giving up slots — the
+        # engine-side twin of OtterGenerator._cache_dtype_for
+        if num_slots != "auto":
+            from otter_tpu.generation.engine import select_cache_dtype
+            all_params = (params if draft is None
+                          else {"t": params, "d": draft[1]})
+            cache_dtype = select_cache_dtype(
+                all_params, cfg.text, num_slots, cache_len, cache_dtype,
+                hbm_bytes=hbm_bytes)
         if num_slots == "auto":
             num_slots = autotune_num_slots(
                 params, cfg, cache_len, cache_dtype, hbm_bytes=hbm_bytes,

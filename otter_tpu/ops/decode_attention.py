@@ -62,6 +62,7 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                      sm_scale=None, block_k: Optional[int] = None,
                      block_h: Optional[int] = None,
                      mask_value: float = DEFAULT_MASK_VALUE,
+                     dispatch_full: Optional[bool] = None,
                      interpret: bool = False):
     """q [B, H, D]; k/v [B, H, L, D]; lengths [B] int32; optional column
     bias [B|1, H|1, L] (ALiBi decode form). -> [B, H, D].
@@ -131,7 +132,6 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                and block_h * block_k * d * k.dtype.itemsize > 2 << 20):
             block_k //= 2
         num_kv = L // block_k
-    num_h = h // block_h
     if quant:
         assert k.dtype == jnp.int8 and v.dtype == jnp.int8
     if starts is None:
@@ -139,6 +139,86 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
 
     # q rows tiled to the 8-sublane minimum per (b, h)
     q8 = jnp.broadcast_to(q[:, :, None, :], (bsz, h, 8, d))
+
+    args = [q8, k]
+    if not int4:
+        args.append(v)
+    if has_bias:
+        # per-head column bias as a rank-3 [B, H, L] block; the 8-sublane
+        # replication the q/logits tile needs happens IN-REGISTER inside
+        # the kernel. The former [B, H, 8, L] HBM layout re-materialized
+        # the broadcast every step (pallas inputs are real buffers):
+        # write+read of 8x-inflated bias+scales measured ~1.3 ms/step of
+        # pure overhead at 7B b8/L2048 int8 (BENCH_NOTES r4).
+        bias3 = jnp.broadcast_to(bias.astype(jnp.float32), (bsz, h, L))
+        args.append(bias3)
+    if quant:
+        # per-key-position scales, read straight from the cache's own
+        # [B(, nl), H, L] f32 arrays (see sc_spec) — no cast, no
+        # replication, no per-layer slice
+        args.extend((k_scale, v_scale))
+
+    out = _dispatch(
+        tuple(args), lengths, starts, layer=layer, L=L, h=h, d=d,
+        d_kv=d_kv, block_k=block_k, block_h=block_h, int4=int4,
+        quant=quant, has_bias=has_bias, stacked=stacked, sm_scale=sm_scale,
+        mask_value=mask_value, dispatch_full=dispatch_full,
+        kv_itemsize=k.dtype.itemsize, interpret=interpret)
+    return out[:, :, 0, :]
+
+
+def _dispatch(args, lengths, starts, *, layer, L, h, d, d_kv, block_k,
+              block_h, int4, quant, has_bias, stacked, sm_scale,
+              mask_value, dispatch_full, kv_itemsize, interpret):
+    """Build the kernel at the chosen blocking, with an optional runtime
+    full-cache fast path.
+
+    Full-cache fast path (round 5, VERDICT r4 #1a): once every row's
+    valid span covers every KV block, block-skipping buys nothing and
+    the grid-step count is pure overhead — one block_k=L launch reads
+    the same bytes in 1/num_kv the grid steps (measured 4.70 vs 6.45
+    ms/decode-step of attention at 7B b8/L2048 int8,
+    tools/bench_decode_blocks.py). Rows fill their caches monotonically,
+    so a `lax.cond` on "every row spans every block" dispatches the
+    near-full regime to the big-block kernel and keeps short rows on the
+    block-skipping path. Only engaged when the full-row blocks fit the
+    VMEM budget (int8/int4 caches; bf16 at L>=2048 with bias needs 8
+    sublanes x 4 MB blocks and stays blocked)."""
+    full_bh = None
+    if dispatch_full is not False and L // block_k >= 2:
+        itemsize = kv_itemsize
+        n_ops = 1 if int4 else 2
+        bh = h
+        while bh > 1 and n_ops * bh * L * d * itemsize > (4 << 20):
+            bh //= 2
+        if (quant or has_bias) and bh % 8:
+            bh = 8 if h % 8 == 0 else h
+        if h % bh == 0 and n_ops * bh * L * d * itemsize <= (4 << 20):
+            full_bh = bh
+
+    def build(block_k, block_h):
+        return _call(args, lengths, starts, layer=layer, L=L, h=h, d=d,
+                     d_kv=d_kv, block_k=block_k, block_h=block_h,
+                     int4=int4, quant=quant, has_bias=has_bias,
+                     stacked=stacked, sm_scale=sm_scale,
+                     mask_value=mask_value, interpret=interpret)
+
+    if full_bh is None:
+        return build(block_k, block_h)
+    spans_all = ((jnp.min(lengths) > L - block_k)
+                 & (jnp.max(starts) < block_k))
+    return lax.cond(spans_all,
+                    lambda: build(L, full_bh),
+                    lambda: build(block_k, block_h))
+
+
+def _call(args, lengths, starts, *, layer, L, h, d, d_kv, block_k,
+          block_h, int4, quant, has_bias, stacked, sm_scale, mask_value,
+          interpret):
+    bsz = args[0].shape[0]
+    num_kv = L // block_k
+    num_h = h // block_h
+    q_dtype = args[0].dtype
 
     if stacked:
         kv_spec = pl.BlockSpec((1, 1, block_h, block_k, d_kv),
@@ -157,28 +237,13 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
         pl.BlockSpec((1, block_h, 8, d), lambda b, hh, j, *_: (b, hh, 0, 0)),
         kv_spec,
     ]
-    args = [q8, k]
     if not int4:
         in_specs.append(kv_spec)
-        args.append(v)
     if has_bias:
-        # per-head column bias as a rank-3 [B, H, L] block; the 8-sublane
-        # replication the q/logits tile needs happens IN-REGISTER inside
-        # the kernel. The former [B, H, 8, L] HBM layout re-materialized
-        # the broadcast every step (pallas inputs are real buffers):
-        # write+read of 8x-inflated bias+scales measured ~1.3 ms/step of
-        # pure overhead at 7B b8/L2048 int8 (BENCH_NOTES r4).
-        bias3 = jnp.broadcast_to(bias.astype(jnp.float32), (bsz, h, L))
         in_specs.append(pl.BlockSpec((1, block_h, block_k),
                                      lambda b, hh, j, *_: (b, hh, j)))
-        args.append(bias3)
     if quant:
-        # per-key-position scales, read straight from the cache's own
-        # [B(, nl), H, L] f32 arrays (see sc_spec) — no cast, no
-        # replication, no per-layer slice
-        for sc in (k_scale, v_scale):
-            in_specs.append(sc_spec)
-            args.append(sc)
+        in_specs.extend((sc_spec, sc_spec))
 
     def kernel(lengths_ref, starts_ref, *refs):
         it = iter(refs)
@@ -263,7 +328,7 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                     l_inv[:, :1], acc_scr[hh].shape, (0, 1))
                 ).astype(o_ref.dtype)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -276,9 +341,8 @@ def decode_attention(q, k, v, lengths, bias=None, starts=None, *,
                 pltpu.VMEM((block_h, 8, NUM_LANES), jnp.float32),
                 pltpu.VMEM((block_h, 8, d), jnp.float32),
             ]),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, 8, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, 8, d), q_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(lengths.astype(jnp.int32), starts.astype(jnp.int32), *args)
-    return out[:, :, 0, :]

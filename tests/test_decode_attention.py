@@ -105,6 +105,30 @@ def test_decoder_decode_kernel_matches_einsum(rng):
     np.testing.assert_allclose(ker, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_decode_attention_full_cache_fast_path(rng):
+    """Round-5 full-cache dispatch: when every row's span covers every
+    KV block, a lax.cond routes to the block_k=L kernel (fewer grid
+    steps, same bytes). Both branches must match the reference — and
+    the dispatch must flip correctly on the length predicate."""
+    b, h, d, L = 2, 8, 128, 1024
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)), jnp.float32)
+    for lens in ([L - 5, L - 1],        # near-full -> full-cache branch
+                 [200, L - 1]):         # mixed -> blocked branch
+        lengths = jnp.asarray(lens, jnp.int32)
+        out = decode_attention(q, k, v, lengths, block_k=256,
+                               interpret=True)
+        ref = _ref(q, k, v, lengths)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        # dispatch_full=False must agree too (pure blocked path)
+        out2 = decode_attention(q, k, v, lengths, block_k=256,
+                                dispatch_full=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_decode_attention_round4_default_blocks(rng):
     """The round-4 defaults (block_k=min(1024,L), ~1MB block_h target)
     must stay numerically exact at a multi-block L with mixed lengths —
