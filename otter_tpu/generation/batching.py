@@ -141,6 +141,9 @@ class _Slot:
     t_submit: float = 0.0   # request enqueue time
     t_admit: float = 0.0    # prefill+insert done (first token available)
     t_first: float = 0.0    # first token delivered to the consumer
+    # speculative-decoding acceptance EMA (committed tokens/round for
+    # this slot; None until the first spec round drains)
+    accept_ema: Optional[float] = None
 
 
 @dataclass
@@ -173,7 +176,8 @@ class ContinuousBatcher:
                  max_media: int = 1, cache_dtype=jnp.bfloat16,
                  rng_seed: int = 0, max_admits_per_iter: int = 1,
                  hbm_bytes: float = 16e9, prefill_chunk: int = 0,
-                 draft=None, spec_gamma: int = 4):
+                 draft=None, spec_gamma: int = 4,
+                 spec_adaptive: bool = True):
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -279,6 +283,36 @@ class ContinuousBatcher:
                                        cache_len, cache_dtype)
             self._latents_d: Optional[jnp.ndarray] = None
         self._spec_fns: Dict[Any, Any] = {}
+
+        # ── acceptance-adaptive speculation (round 5, VERDICT r4 #3) ──
+        # Round time at a given gamma is acceptance-INDEPENDENT (static
+        # shapes), so the break-even is computable online: spec(g) beats
+        # plain iff E[tokens/round] > T_spec(g)/T_plain. The controller
+        # tracks an EMA of committed tokens/round per gamma and an EMA
+        # of iteration wall time per mode, probes the candidate modes
+        # (gamma ladder {spec_gamma, spec_gamma//2, ...} + plain) when
+        # it lacks a measurement, and switches to the fastest mode with
+        # 5% hysteresis — including AUTO-DROPPING TO PLAIN DECODE below
+        # break-even, so sampled low-alpha traffic (measured 0.99x at
+        # T=1 gamma=4, BENCH_NOTES r4) can never run slower than a
+        # draft-free pool. Every mode emits exactly the same tokens
+        # (greedy rows are target-exact; sampled rows distributionally
+        # exact), so probing costs only throughput, never quality.
+        self.spec_adaptive = bool(spec_adaptive and draft is not None)
+        self._mode_now: Any = ("spec", spec_gamma)
+        self._probe_plan: List[Any] = []
+        self._accept_ema: Dict[int, float] = {}     # gamma -> E[tok/round]
+        self._iter_times: Dict[Any, float] = {}     # mode -> s/iteration
+        self._t_last_iter: Optional[float] = None
+        self._last_mode: Any = None
+        self._ctrl_count = 0
+        self._stale_count = 0      # iterations since suspended modes probed
+        self._draft_stale = False  # draft cache missed committed tokens
+        self._catchup_fn = None
+        # controller cadence (instance attrs so tests can shrink them)
+        self._replan_every = 32    # drained iterations between decisions
+        self._probe_len = 8        # iterations per mode probe
+        self._stale_every = 1024   # refresh suspended modes' estimates
 
         self._prefill_fns: Dict[Any, Any] = {}
         self._insert_fns: Dict[Any, Any] = {}
@@ -633,7 +667,8 @@ class ContinuousBatcher:
 
     # ── slot-pool speculative round ───────────────────────────────────
 
-    def _get_spec_round(self, lp_configs: Tuple[Tuple[int, Any], ...]):
+    def _get_spec_round(self, lp_configs: Tuple[Tuple[int, Any], ...],
+                        g: int):
         """One batched speculative ROUND over the whole slot pool: gamma
         draft steps (each a [B]-batched decode), one s=gamma+1 target
         verify window at per-row offsets, then a per-row accept/advance.
@@ -653,10 +688,14 @@ class ContinuousBatcher:
         closes the gap. Greedy rows emit EXACTLY the plain batcher's
         greedy tokens; sampled rows are distributionally exact for ANY
         proposal (accept_resample, Leviathan et al. 2211.17192)."""
-        key = ("spec", lp_configs)
+        key = ("spec", g, lp_configs)
         if key in self._spec_fns:
             return self._spec_fns[key]
-        g, B, L = self.gamma, self.n, self.L
+        B, L = self.n, self.L
+        g_max = self.gamma    # cache-room stop uses the LADDER MAX so a
+        #                       later gamma raise never dispatches a row
+        #                       whose verify window would overflow the
+        #                       cache (adaptive controller, round 5)
         cols = jnp.arange(L)[None, :]
 
         def win_valid(valid, written, last_off):
@@ -801,7 +840,7 @@ class ContinuousBatcher:
             eos_hit = jnp.any((out == eos[:, None])
                               & (idx[None] < e[:, None]), 1)
             alive2 = (alive & ~eos_hit & (emitted2 < max_new)
-                      & (written2 + g + 1 <= L))
+                      & (written2 + g_max + 1 <= L))
             # device-side carried state (like the plain decode step):
             # round t+1 dispatches from round t's DEVICE outputs, so the
             # (out, e) readback overlaps the next round's compute
@@ -813,12 +852,127 @@ class ContinuousBatcher:
         self._spec_fns[key] = jax.jit(spec, donate_argnums=(2, 3, 4, 5))
         return self._spec_fns[key]
 
+    # ── acceptance-adaptive mode controller ───────────────────────────
+
+    def _modes_ladder(self) -> List[Any]:
+        """Candidate modes: the gamma ladder {gamma, gamma//2, ...} (at
+        most two spec tiers, bounding compile count) + plain decode."""
+        modes: List[Any] = [("spec", self.gamma)]
+        if self.gamma >= 2:
+            modes.append(("spec", max(1, self.gamma // 2)))
+        modes.append("plain")
+        return modes
+
+    def _next_mode(self) -> Any:
+        if not self.spec_adaptive:
+            return ("spec", self.gamma)
+        if self._probe_plan:
+            return self._probe_plan.pop(0)
+        return self._mode_now
+
+    def _note_iter_time(self, mode) -> None:
+        """EMA of wall seconds/iteration per mode. With pipeline_depth=1
+        each scheduler iteration blocks on the previous round's
+        readback, so steady-state inter-dispatch intervals track the
+        device round time. Samples are only taken between consecutive
+        same-mode iterations (mode switches and admissions reset)."""
+        now = time.monotonic()
+        if self._last_mode == mode and self._t_last_iter is not None:
+            dt = now - self._t_last_iter
+            prev = self._iter_times.get(mode)
+            self._iter_times[mode] = dt if prev is None \
+                else 0.8 * prev + 0.2 * dt
+        self._t_last_iter = now
+        self._last_mode = mode
+
+    def _mode_rate(self, mode) -> Optional[float]:
+        """Estimated committed tokens/sec/row for a mode, None if
+        unmeasured."""
+        t = self._iter_times.get(mode)
+        if t is None:
+            return None
+        if mode == "plain":
+            return 1.0 / t
+        e = self._accept_ema.get(mode[1])
+        return None if e is None else e / t
+
+    def _maybe_replan(self) -> None:
+        """Every 32 drained iterations: probe unmeasured candidate modes
+        (8 iterations each — probing is output-exact, it costs only
+        throughput), then switch to the fastest measured mode with 5%
+        hysteresis. Suspended modes' acceptance estimates age; re-probe
+        them every 1024 iterations so drift (alpha rises as requests
+        condition on their own text; admissions change the mix) is
+        picked up."""
+        if not self.spec_adaptive or self._probe_plan:
+            return
+        self._ctrl_count += 1
+        self._stale_count += 1
+        if self._ctrl_count % self._replan_every:
+            return
+        modes = self._modes_ladder()
+        rates = {m: self._mode_rate(m) for m in modes}
+        unknown = [m for m in modes if rates[m] is None]
+        if unknown:
+            self._probe_plan.extend([unknown[0]] * self._probe_len)
+            return
+        if self._stale_count >= self._stale_every:
+            self._stale_count = 0
+            for m in modes:
+                if m != self._mode_now:
+                    self._probe_plan.extend([m] * self._probe_len)
+            return
+        best = max(modes, key=lambda m: rates[m])
+        if best != self._mode_now \
+                and rates[best] > 1.05 * rates[self._mode_now]:
+            self._mode_now = best
+
+    def _get_catchup(self):
+        """Draft-cache catch-up after plain-mode iterations: re-ingest
+        each row's last `W` GENERATED columns (floor-clamped to the
+        first decode column, so prompt/media columns — already cached by
+        the admission ingest — are never touched) through the draft's
+        s>1 decode path. Re-ingesting already-cached columns recomputes
+        identical K/V (idempotent); columns at/after `written` hold
+        junk that the next round's verify window overwrites before
+        marking valid. Gaps older than W stay holes: the draft then
+        proposes from partial context, which costs acceptance, never
+        correctness (verification corrects any proposal)."""
+        if self._catchup_fn is None:
+            W = min(256, self.L)
+
+            def catchup(params_d, cache_d, buffer, valid, latents_d,
+                        written, floor, valid_from, media):
+                start = jnp.maximum(written - W, floor)
+                cols = start[:, None] + jnp.arange(W)[None]
+                toks = jnp.take_along_axis(
+                    buffer, jnp.minimum(cols, self.L - 1), 1)
+                positions = jnp.maximum(cols - valid_from[:, None], 0)
+                _, cache_d, _ = self.model_d.apply(
+                    params_d, None, toks, vis_latents=latents_d,
+                    cache=cache_d, cache_pos=start, kv_valid=valid,
+                    positions=positions.astype(jnp.int32),
+                    media_counts=media)
+                return cache_d
+
+            self._catchup_fn = jax.jit(catchup, donate_argnums=(1,))
+        return self._catchup_fn
+
+    def _run_catchup(self) -> None:
+        st = self._statics
+        floor = jnp.asarray([s.bucket for s in self._slots], jnp.int32)
+        self._cache_d = self._get_catchup()(
+            self.params_d, self._cache_d, self._buffer, self._valid,
+            self._latents_d, self._carried["written"], floor,
+            st["valid_from"], st["media"])
+
     def _step_spec(self) -> bool:
         """One speculative scheduler iteration: dispatch a round with NO
         host sync (carried slot state flows device-to-device, exactly
         like `_dispatch`), then drain pipelined rounds — each readback
         covers up to gamma+1 tokens per row AND overlaps the next
-        round's compute."""
+        round's compute. The adaptive controller may route iterations
+        to plain decode (mode "plain") or a smaller gamma instead."""
         slots = self._slots
         if not any(s.active for s in slots):
             self._drain_all()
@@ -827,11 +981,27 @@ class ContinuousBatcher:
             self._lp_list, self._statics = self._static_args(slots)
             self._carried = self._carried_args(slots)
             self._dirty = False
+            self._t_last_iter = None
+        mode = self._next_mode()
+        self._note_iter_time(mode)
+        if mode == "plain":
+            self._draft_stale = True
+            res = self._dispatch(need_logits=False)
+            self._inflight.append(
+                (res[0], [i for i, s in enumerate(slots) if s.active],
+                 "plain"))
+            while len(self._inflight) > self.pipeline_depth:
+                self._drain_one()
+            return True
+        g = mode[1]
+        if self._draft_stale:
+            self._run_catchup()
+            self._draft_stale = False
         self._rng, sub = jax.random.split(self._rng)
         st, ca = self._statics, self._carried
         (out, e, toks2, alive2, written2, emitted2, self._cache,
          self._cache_d, self._buffer, self._valid) = \
-            self._get_spec_round(self._lp_list)(
+            self._get_spec_round(self._lp_list, g)(
                 self.params, self.params_d, self._cache, self._cache_d,
                 self._buffer, self._valid, self._latents,
                 self._latents_d, ca["toks"], ca["alive"], ca["written"],
@@ -842,19 +1012,35 @@ class ContinuousBatcher:
         self._carried = dict(toks=toks2, alive=alive2, written=written2,
                              emitted=emitted2)
         self._inflight.append(
-            ((out, e), [i for i, s in enumerate(slots) if s.active]))
+            ((out, e), [i for i, s in enumerate(slots) if s.active],
+             ("spec", g)))
         while len(self._inflight) > self.pipeline_depth:
             self._drain_one()
         return True
 
-    def _drain_one_spec(self):
+    def _drain_one_spec(self, entry):
         """Force the oldest in-flight ROUND's (out, e) and stream each
         row's emitted prefix, mirroring the device's alive2 rules
         (eos / max_new budget / gamma+1 cache-room stop) on the host
         slot state."""
-        (out_dev, e_dev), snapshot = self._inflight.pop(0)
+        (out_dev, e_dev), snapshot, mode = entry
         out = np.asarray(out_dev)
         e = np.asarray(e_dev)
+        # acceptance accounting: pool-mean committed tokens this round
+        # (capped rows — eos/max_new truncation — still reflect real
+        # acceptance closely enough for control) + per-slot EMA
+        g = mode[1]
+        live = [i for i in snapshot if self._slots[i].active]
+        if live:
+            mean_e = float(np.mean([e[i] for i in live]))
+            prev = self._accept_ema.get(g)
+            self._accept_ema[g] = mean_e if prev is None \
+                else 0.8 * prev + 0.2 * mean_e
+            for i in live:
+                s = self._slots[i]
+                s.accept_ema = (float(e[i]) if s.accept_ema is None
+                                else 0.8 * s.accept_ema + 0.2 * float(e[i]))
+        self._maybe_replan()
         for i in snapshot:
             s = self._slots[i]
             if not s.active:
@@ -1190,6 +1376,17 @@ class ContinuousBatcher:
             "queue_depth": self._pending.qsize(),
             "completed": len(records),
         }
+        if self.model_d is not None:
+            out["spec"] = {
+                "adaptive": self.spec_adaptive,
+                "mode": ("plain" if self._mode_now == "plain"
+                         else f"spec_gamma{self._mode_now[1]}"),
+                "accept_ema_tok_per_round": dict(self._accept_ema),
+                "iter_time_ema_s": {
+                    ("plain" if m == "plain" else f"spec_gamma{m[1]}"): t
+                    for m, t in self._iter_times.items()},
+                "slot_accept_ema": [s.accept_ema for s in self._slots],
+            }
         if records:
             ttfts = sorted(r["ttft_s"] for r in records)
             rates = sorted(r["decode_tok_s"] for r in records)
@@ -1338,10 +1535,16 @@ class ContinuousBatcher:
     def _drain_one(self):
         """Force the oldest in-flight iteration's tokens and stream them
         (host mirrors of written/emitted/active advance exactly like the
-        device-side update in `decode`)."""
+        device-side update in `decode`). Entries are (payload, snapshot,
+        kind): spec-pool rounds carry kind ("spec", gamma) and plain
+        iterations (draft-free pools AND the adaptive controller's
+        plain-mode iterations) carry "plain"."""
+        entry = self._inflight.pop(0)
+        if entry[-1] != "plain":
+            return self._drain_one_spec(entry)
+        nxt_dev, snapshot, _ = entry
         if self.model_d is not None:
-            return self._drain_one_spec()
-        nxt_dev, snapshot = self._inflight.pop(0)
+            self._maybe_replan()   # controller advances in plain mode too
         toks = np.asarray(nxt_dev)
         for i in snapshot:
             s = self._slots[i]
@@ -1385,7 +1588,8 @@ class ContinuousBatcher:
             return False
         res = self._dispatch(need_logits=False)
         self._inflight.append(
-            (res[0], [i for i, s in enumerate(self._slots) if s.active]))
+            (res[0], [i for i, s in enumerate(self._slots) if s.active],
+             "plain"))
         while len(self._inflight) > self.pipeline_depth:
             self._drain_one()
         return True
@@ -1399,7 +1603,8 @@ class ContinuousBatcher:
         for grp in list(self._groups.values()):
             self._beam_advance(grp, logits_dev)
         self._inflight.append(
-            (res[0], [i for i, s in enumerate(slots) if s.active]))
+            (res[0], [i for i, s in enumerate(slots) if s.active],
+             "plain"))
         self._drain_all()
         # beam bookkeeping rewrote host slot state: rebuild carried
         self._dirty = True

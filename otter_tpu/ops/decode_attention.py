@@ -328,6 +328,26 @@ def _call(args, lengths, starts, *, layer, L, h, d, d_kv, block_k,
                     l_inv[:, :1], acc_scr[hh].shape, (0, 1))
                 ).astype(o_ref.dtype)
 
+    # scoped-VMEM estimate: double-buffered operand blocks + the
+    # unrolled per-head dequant temps (quant caches convert each
+    # [block_k, d] int8 block to compute dtype in-register; Mosaic
+    # stacks the unrolled copies). The default 16 MB scoped limit is
+    # conservative (v5e has 128 MB VMEM); the full-cache fast path at
+    # (block_k=2048, block_h=8) int8 measures 16.19 MB — 192 KB over —
+    # so raise the limit ONLY when the estimate is near the default,
+    # leaving every previously-tuned blocking's compilation untouched.
+    kv_bytes = ((1 if int4 else 2)
+                * block_h * block_k * d_kv * args[1].dtype.itemsize)
+    aux_bytes = (2 * block_h * block_k * 4 if quant else 0) \
+        + (block_h * block_k * 4 if has_bias else 0) \
+        + 2 * block_h * 8 * d * 4
+    temps = block_h * block_k * d * 2 if quant else 0
+    need = 2 * (kv_bytes + aux_bytes) + temps
+    compiler_params = dict(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+    if need > (15 << 20):
+        compiler_params["vmem_limit_bytes"] = need + (8 << 20)
+
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -342,7 +362,6 @@ def _call(args, lengths, starts, *, layer, L, h, d, d_kv, block_k,
                 pltpu.VMEM((block_h, 8, d), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((bsz, h, 8, d), q_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=pltpu.CompilerParams(**compiler_params),
         interpret=interpret,
     )(lengths.astype(jnp.int32), starts.astype(jnp.int32), *args)

@@ -669,7 +669,22 @@ def main():
                         "mpt7b target + mpt1b draft")
     p.add_argument("--draft-config", default="mpt1b",
                    choices=sorted(PRESETS))
-    p.add_argument("--draft-gamma", type=int, default=4)
+    p.add_argument("--draft-gamma", type=int, default=4,
+                   help="MAX draft tokens per verify round; with "
+                        "--spec-adaptive (default) the controller picks "
+                        "per-round among {gamma, gamma//2, plain} from "
+                        "measured acceptance + round times")
+    p.add_argument("--spec-adaptive", dest="spec_adaptive",
+                   action="store_true", default=True,
+                   help="acceptance-adaptive speculation (default ON): "
+                        "EMA of committed tokens/round vs measured "
+                        "round times auto-drops gamma — down to plain "
+                        "decode — below break-even, so low-acceptance "
+                        "traffic (e.g. sampled T=1) never decodes "
+                        "slower than a draft-free pool (docs/serving.md)")
+    p.add_argument("--no-spec-adaptive", dest="spec_adaptive",
+                   action="store_false",
+                   help="pin speculation at --draft-gamma unconditionally")
     args = p.parse_args()
 
     import jax
@@ -767,7 +782,8 @@ def main():
                                     cache_dtype=cache_dtype,
                                     prefill_chunk=args.prefill_chunk,
                                     draft=draft,
-                                    spec_gamma=args.draft_gamma)
+                                    spec_gamma=args.draft_gamma,
+                                    spec_adaptive=args.spec_adaptive)
         stream_fn = make_batched_stream_fn(batcher, tokenizer, cfg)
     else:
         engine = OtterGenerator(model, params, cfg,

@@ -640,3 +640,66 @@ def test_spec_pool_caps_beams_to_one(rng):
     finally:
         batcher.shutdown()
     assert got[: len(expected)] == expected, (got, expected)
+
+
+def test_spec_adaptive_mode_switches_stay_exact(rng):
+    """Acceptance-adaptive speculation (round 5): with shrunken
+    controller cadence the pool probes the gamma ladder and plain mode,
+    switches modes mid-stream (draft-cache catch-up on plain->spec),
+    and the greedy output must STILL exactly match the plain engine —
+    mode changes are an optimization, never a semantics change."""
+    cfg, model, params, _, _ = _tiny(rng)
+    model_d, params_d = _draft_tiny(rng, cfg)   # low-acceptance draft
+    ids = np.asarray(rng.integers(5, 200, (1, 9)), np.int32)
+    ids[:, 0] = cfg.media_token_id
+    vx = jnp.asarray(rng.standard_normal((1, 1, 1, 3, 28, 28)),
+                     jnp.float32)
+    max_new = 40
+    expected = _reference_tokens(model, params, cfg, vx, ids, max_new)
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=128, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                draft=(model_d, params_d, cfg),
+                                spec_gamma=2)
+    # shrink the cadence so probes + a stale refresh happen within one
+    # 40-token request (production: 32/8/1024)
+    batcher._replan_every = 4
+    batcher._probe_len = 2
+    batcher._stale_every = 12
+    try:
+        got = list(batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=max_new)))
+        st = batcher.stats()
+    finally:
+        batcher.shutdown()
+    assert got[: len(expected)] == expected, (got, expected)
+    spec = st["spec"]
+    assert spec["adaptive"]
+    # the controller measured at least two modes (probing happened) and
+    # recorded acceptance for the running gamma(s)
+    assert len(spec["iter_time_ema_s"]) >= 2, spec
+    assert spec["accept_ema_tok_per_round"], spec
+    # plain mode ran at some point (a probe or a switch): the draft
+    # cache went stale and the catch-up path compiled
+    assert "plain" in spec["iter_time_ema_s"], spec
+
+
+def test_spec_adaptive_off_pins_gamma(rng):
+    """spec_adaptive=False never probes: only the configured gamma's
+    round fn runs and the output stays exact."""
+    cfg, model, params, vx, ids = _tiny(rng)
+    expected = _reference_tokens(model, params, cfg, vx, ids, 12)
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32,
+                                draft=(model, params, cfg), spec_gamma=2,
+                                spec_adaptive=False)
+    batcher._replan_every = 2
+    try:
+        got = list(batcher.submit(vx, ids,
+                                  GenerationConfig(max_new_tokens=12)))
+        st = batcher.stats()
+    finally:
+        batcher.shutdown()
+    assert got[: len(expected)] == expected, (got, expected)
+    assert list(st["spec"]["iter_time_ema_s"]) in ([], ["spec_gamma2"]), st
