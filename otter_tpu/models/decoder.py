@@ -656,13 +656,17 @@ class Decoder(nn.Module):
             slopes = alibi_slopes(c.num_attention_heads, c.alibi_bias_max)
             if decoding:
                 L = cache_len_of(cache)
-                # column j gets (j - last_pos) * slope; last_pos = cache_pos+s-1
-                # (cache_pos scalar, or [B] for per-row continuous batching)
-                last = jnp.broadcast_to(jnp.asarray(cache_pos) + s - 1, (b,))
-                rel = (jnp.arange(L, dtype=jnp.int32)[None, :]
-                       - last[:, None])
-                bias = (rel[:, None, None, :]
-                        * slopes[None, :, None, None])
+                # column j gets j * slope — softmax-shift-equivalent to
+                # the reference's (j - query_pos) * slope for every query
+                # row (the per-row shift query_pos * slope is constant
+                # across that row's softmax), and STEP-INVARIANT: the
+                # former (j - last) form changed with cache_pos every
+                # step, so XLA rebuilt the [B,H,L] f32 bias inside the
+                # decode loop; this form hoists out of the while_loop
+                # and the kernel input never re-materializes
+                rel = jnp.arange(L, dtype=jnp.int32)
+                bias = (rel[None, None, None, :]
+                        * slopes[None, :, None, None])   # [1, H, 1, L]
             elif prefix_mask is not None:
                 # prefix-LM attends bidirectionally over the prefix, so
                 # the column-form softmax-shift trick no longer holds for

@@ -38,13 +38,20 @@ from otter_tpu.parallel.sharding import param_shardings
 from otter_tpu.train.step import (TrainState, make_optimizer,
                                   make_train_step, split_params)
 
-# OTTER_SP=1: seq axis spans the two processes (dp=1 fsdp=1 sp=2 tp=4
-# over [proc0: d0-3 | proc1: d4-7]) — the ring attention ppermutes cross
-# the process boundary (DCN-style), the case no single-process mesh can
-# exercise
-sp = os.environ.get("OTTER_SP") == "1"
-pcfg = (ParallelConfig(dp=1, fsdp=1, sp=2, tp=4) if sp
-        else ParallelConfig(dp=2, fsdp=2, tp=2))
+# OTTER_MESH selects the global mesh over [proc0: d0-3 | proc1: d4-7]:
+#   dp2xfsdp2xtp2 — data/param sharding, dp crosses the process boundary
+#   sp2xtp4       — seq axis spans the two processes: the ring
+#                   attention ppermutes cross the boundary (DCN-style),
+#                   the case no single-process mesh can exercise
+#   dp2xsp2xtp2   — data AND sequence parallel together (VERDICT r4 #8:
+#                   the composed dpxsp shardings with cross-process
+#                   collectives on the major axis)
+pcfg = {
+    "dp2xfsdp2xtp2": ParallelConfig(dp=2, fsdp=2, tp=2),
+    "sp2xtp4": ParallelConfig(dp=1, fsdp=1, sp=2, tp=4),
+    "dp2xsp2xtp2": ParallelConfig(dp=2, fsdp=1, sp=2, tp=2),
+}[os.environ.get("OTTER_MESH", "dp2xfsdp2xtp2")]
+sp = pcfg.sp > 1
 mesh = create_mesh(pcfg, jax.devices())
 
 cfg = OtterConfig.tiny("mpt")
@@ -98,9 +105,10 @@ def _free_port():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("sp", [False, True],
-                         ids=["dp2xfsdp2xtp2", "sp2xtp4-cross-process-ring"])
-def test_two_process_sharded_train_step(tmp_path, sp):
+@pytest.mark.parametrize(
+    "mesh_name", ["dp2xfsdp2xtp2", "sp2xtp4", "dp2xsp2xtp2"],
+    ids=["dp2xfsdp2xtp2", "sp2xtp4-cross-process-ring", "dp2xsp2xtp2"])
+def test_two_process_sharded_train_step(tmp_path, mesh_name):
     driver = tmp_path / "driver.py"
     driver.write_text(DRIVER)
     port = _free_port()
@@ -108,7 +116,7 @@ def test_two_process_sharded_train_step(tmp_path, sp):
     for rank in range(2):
         env = dict(os.environ)
         env.pop("JAX_PLATFORMS", None)
-        env["OTTER_SP"] = "1" if sp else "0"
+        env["OTTER_MESH"] = mesh_name
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                             + " --xla_force_host_platform_device_count=4"
                             ).strip()
