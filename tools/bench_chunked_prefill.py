@@ -12,8 +12,17 @@ chunk's compute.
 Usage: python tools/bench_chunked_prefill.py [--tiny]
   --tiny: CPU smoke of the harness logic on OtterConfig.tiny (no numbers
   worth recording; the real run needs the chip).
+
+Round-5 composition variant (VERDICT r4 #6 — chunked prefill x
+long-cache): the C=256 default was tuned at bucket-1024 admissions on
+MPT-1B bf16; with L=2048 slots and a quantized cache the per-chunk
+compute and the steady-state decode step both change, so re-measure:
+
+  python tools/bench_chunked_prefill.py --model 7b --long-bucket 2048 \
+      --cache-len 2048 --cache-bit int4 --chunks 0 256 512
 """
 
+import argparse
 import sys
 import time
 
@@ -26,12 +35,24 @@ def pct(xs, p):
 
 
 def main():
-    tiny = "--tiny" in sys.argv
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--model", choices=["1b", "7b"], default="1b")
+    ap.add_argument("--long-bucket", type=int, default=1024)
+    ap.add_argument("--cache-len", type=int, default=0,
+                    help="slot cache length (default 2x long bucket)")
+    ap.add_argument("--cache-bit", choices=["bf16", "int8", "int4"],
+                    default="bf16")
+    ap.add_argument("--chunks", type=int, nargs="*", default=None)
+    ap.add_argument("--slots", type=int, default=4)
+    args = ap.parse_args()
+    tiny = args.tiny
     import jax
     if tiny:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from otter_tpu.config import GenerationConfig, OtterConfig, otter_mpt1b
+    from otter_tpu.config import (GenerationConfig, OtterConfig,
+                                  otter_mpt1b, otter_mpt7b)
     from otter_tpu.generation.batching import ContinuousBatcher
     from otter_tpu.models.otter import OtterVLM
     from otter_tpu.runtime.timing import enable_compile_cache
@@ -41,11 +62,22 @@ def main():
         cfg = OtterConfig.tiny("mpt")
         img, long_bucket, short_bucket, chunks = 28, 32, 16, (0, 8)
         a_new, long_new = 40, 4
+        cache_len = long_bucket * 2
     else:
-        cfg = otter_mpt1b()
-        img, long_bucket, short_bucket, chunks = 224, 1024, 128, (0, 256,
-                                                                  128)
+        if args.model == "7b":
+            cfg = otter_mpt7b()
+            cfg = cfg.replace(text=cfg.text.replace(
+                quant="int8", decode_kernel="auto"))
+        else:
+            cfg = otter_mpt1b()
+        img, short_bucket = 224, 128
+        long_bucket = args.long_bucket
+        chunks = tuple(args.chunks) if args.chunks is not None \
+            else (0, 256, 128)
         a_new, long_new = 192, 8
+        cache_len = args.cache_len or long_bucket * 2
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": "int8",
+                   "int4": "int4"}[args.cache_bit]
     model = OtterVLM(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     vx = jnp.zeros((1, 1, 1, 3, img, img), jnp.bfloat16)
@@ -67,9 +99,10 @@ def main():
 
     def run(chunk):
         b = ContinuousBatcher(
-            model, params, cfg, num_slots=4, cache_len=long_bucket * 2,
+            model, params, cfg, num_slots=args.slots if not tiny else 4,
+            cache_len=cache_len,
             buckets=(short_bucket, long_bucket),
-            cache_dtype=jnp.bfloat16, prefill_chunk=chunk)
+            cache_dtype=cache_dtype, prefill_chunk=chunk)
         try:
             # warm every jit variant of both arms
             list(b.submit(vx, ids_a, gen_a.replace(max_new_tokens=4)))

@@ -108,13 +108,33 @@ def main():
     pos_static = jnp.full((b, 1), ctx, jnp.int32)
 
     def step(params, tok, cache, cache_pos, kv_valid, positions,
-             with_xattn):
+             with_xattn=True):
         logits, cache, _ = model.apply(
-            params, None, tok, vis_latents=lat if with_xattn else None,
+            params, None, tok, vis_latents=lat,
             cache=cache, cache_pos=cache_pos, kv_valid=kv_valid,
-            positions=positions,
-            media_counts=media_counts if with_xattn else None)
+            positions=positions, media_counts=media_counts)
         return logits[:, -1], cache
+
+    # decoder-only variant: a BARE Decoder (no xattn blocks in the
+    # module at all), zero params at the same dims — vis_latents=None
+    # through OtterVLM would re-encode vision_x (crash on None).
+    # The bare tree SHARES the VLM's lang_encoder leaves (a second
+    # zero tree would double-resident ~8.5 GB and OOM the chip).
+    from flax import traverse_util
+    from otter_tpu.models.decoder import Decoder
+    dec_only = Decoder(cfg.text, dtype=jnp.bfloat16)
+    ids1 = jnp.zeros((b, 1), jnp.int32)
+    dec_shapes = jax.eval_shape(
+        dec_only.init, jax.random.PRNGKey(0), ids1, cache=cache0,
+        cache_pos=ctx, kv_valid=kv_static, positions=pos_static)
+    src = traverse_util.flatten_dict(
+        params["params"]["lang_encoder"], sep="/")
+    dec_flat = {}
+    for k in traverse_util.flatten_dict(dec_shapes["params"],
+                                        sep="/"):
+        dec_flat[k] = src[k]
+    dec_params = {"params": traverse_util.unflatten_dict(dec_flat,
+                                                         sep="/")}
 
     def build_static(with_xattn):
         def build(n):
@@ -122,8 +142,15 @@ def main():
             def run(params, tok, cache):
                 def body(i, st):
                     tok, c = st
-                    logits, c = step(params, tok[:, None], c, ctx,
-                                     kv_static, pos_static, with_xattn)
+                    if with_xattn:
+                        logits, c = step(params, tok[:, None], c, ctx,
+                                         kv_static, pos_static)
+                    else:
+                        logits, c = dec_only.apply(
+                            dec_params, tok[:, None], cache=c,
+                            cache_pos=ctx, kv_valid=kv_static,
+                            positions=pos_static)
+                        logits = logits[:, -1]
                     return (jnp.argmax(logits, -1).astype(jnp.int32), c)
                 return lax.fori_loop(0, n, body, (tok, cache))[0]
             return lambda: np.asarray(run(params, tok0, cache))
