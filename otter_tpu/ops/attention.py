@@ -119,6 +119,20 @@ def multi_head_attention(
         k = jnp.repeat(k, h // h_kv, axis=1)
         v = jnp.repeat(v, h // h_kv, axis=1)
 
+    # Sub-tile workloads (decode-time gated xattn: q_len 1 against 64
+    # perceiver latents; speculative verify windows: q_len gamma+1) sit
+    # below the kernel's 8x128 minimum tile — the pallas_call launch floor
+    # dwarfs the math, and the standalone kernel blocks XLA from fusing
+    # the projections around it. The einsum path inlines into the
+    # surrounding graph instead (measured on the decode-xattn ablation:
+    # the q_len=1 Pallas launch is the block's single largest cost).
+    # (an explicit OTTER_ATTN_IMPL=pallas keeps the kernel even here — the
+    # A/B lever for measuring exactly this routing decision)
+    import os
+    if (impl == "pallas" and q.shape[2] <= 8 and k.shape[2] <= 256
+            and os.environ.get("OTTER_ATTN_IMPL") != "pallas"):
+        impl = "ref"
+
     if impl == "pallas":
         return fa.flash_attention(
             q, k, v, bias, q_ids, kv_ids, causal=causal, sm_scale=sm_scale,
