@@ -133,6 +133,13 @@ class TextConfig(_JsonMixin):
     # weight-only quantization of decoder attn/ffn kernels: None | "int8"
     # (serving load_bit parity, model_worker.py:91-100)
     quant: Optional[str] = None
+    # int8 embedding TABLE (wte_q [V,H] int8 + wte_s [V] f32 row scales,
+    # untied models only): decode gathers one row so traffic is
+    # unchanged — this is a RESIDENCY lever (Fuyu's 262k-vocab bf16
+    # table is 2.15 GB; halving it is what keeps OtterHD-8B decode out
+    # of the usable-HBM thrash zone, BENCH_NOTES round-5 HBM-drift
+    # note). Load transform: ops.quant.quantize_embed.
+    quant_embed: bool = False
     # gated-xattn blocks' quant policy: "follow" mirrors `quant` (serving —
     # the fused int8 xattn FF was a measured win); None keeps xattn bf16
     # while the frozen decoder is int8 (the single-chip 7B SFT recipe:

@@ -22,6 +22,7 @@ the design:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -122,6 +123,14 @@ def sample_rows(rng, logits, *, do_sample, temperature, top_k, top_p):
     return jnp.where(do_sample, sampled, greedy)
 
 
+class _SchedulerError:
+    """Sentinel delivered on every stream queue when the scheduler
+    thread dies; stream() re-raises it on the consumer's thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 @dataclass
 class _Slot:
     active: bool = False
@@ -175,7 +184,7 @@ class ContinuousBatcher:
                  buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024),
                  max_media: int = 1, cache_dtype=jnp.bfloat16,
                  rng_seed: int = 0, max_admits_per_iter: int = 1,
-                 hbm_bytes: float = 16e9, prefill_chunk: int = 0,
+                 hbm_bytes: Optional[float] = None, prefill_chunk: int = 0,
                  draft=None, spec_gamma: int = 4,
                  spec_adaptive: bool = True):
         self.model = model
@@ -204,6 +213,8 @@ class ContinuousBatcher:
         # whose pool does not fit HBM drops cache precision one step
         # (bf16 -> int8 -> int4, warned) before giving up slots — the
         # engine-side twin of OtterGenerator._cache_dtype_for
+        if hbm_bytes is None:
+            hbm_bytes = float(os.environ.get("OTTER_HBM_BYTES", 16e9))
         if num_slots != "auto":
             from otter_tpu.generation.engine import select_cache_dtype
             all_params = (params if draft is None
@@ -269,6 +280,7 @@ class ContinuousBatcher:
         self._lock = threading.Lock()
         self._work = threading.Event()
         self._stop = False
+        self._failure: Optional[BaseException] = None
 
         # pooled device state
         self._cache = init_cache(cfg.text, num_slots, cache_len, cache_dtype)
@@ -362,6 +374,10 @@ class ContinuousBatcher:
             gen = gen.replace(num_beams=1)
         if gen.num_beams > self.n:
             gen = gen.replace(num_beams=self.n)
+        if self._failure is not None:
+            raise RuntimeError(
+                "ContinuousBatcher scheduler thread has failed"
+            ) from self._failure
         out: "queue.Queue" = queue.Queue()
         self._pending.put((np.asarray(vision_x), np.asarray(lang_x),
                            gen, out, time.monotonic()))
@@ -372,6 +388,10 @@ class ContinuousBatcher:
                 tok = out.get()
                 if tok is None:
                     return
+                if isinstance(tok, _SchedulerError):
+                    raise RuntimeError(
+                        "ContinuousBatcher scheduler thread failed; "
+                        "stream aborted") from tok.exc
                 yield tok
 
         return stream()
@@ -426,7 +446,7 @@ class ContinuousBatcher:
                                      None).astype(jnp.int32)
                 logits, cache, lat = model.apply(
                     params, vision_x, lang_x, attention_mask=mask,
-                    positions=positions, cache=cache)
+                    positions=positions, cache=cache, head_last_only=True)
                 return logits[:, -1], cache, lat
             self._prefill_fns[key] = jax.jit(prefill)
         return self._prefill_fns[key]
@@ -513,7 +533,8 @@ class ContinuousBatcher:
                     params, None, sl(ids), vis_latents=lat,
                     cache=cache, cache_pos=off, kv_valid=kv_valid,
                     positions=sl(positions),
-                    xattn_ids=(sl(q_f), kv_ids, sl(keep_f)))
+                    xattn_ids=(sl(q_f), kv_ids, sl(keep_f)),
+                    head_last_only=True)
                 return cache, logits[:, -1]
 
             self._chunk_fns[key] = jax.jit(chunk, donate_argnums=(1,))
@@ -1611,6 +1632,35 @@ class ContinuousBatcher:
         return any(s.active for s in slots)
 
     def _loop(self):
+        # a scheduler-thread exception must FAIL every stream, not
+        # silently kill the thread and leave consumers blocked on their
+        # queues forever (observed: a prefill-fn TypeError hung the
+        # suite with zero diagnostics)
+        try:
+            self._loop_inner()
+        except BaseException as e:   # noqa: BLE001 - surfaced to streams
+            self._failure = e
+            self._fail_streams(e)
+
+    def _fail_streams(self, exc):
+        sent = _SchedulerError(exc)
+        outs = []
+        with self._lock:
+            outs += [s.out for s in self._slots if s.out is not None]
+            outs += [g.out for g in getattr(self, "_groups", {}).values()
+                     if g.out is not None]
+            outs += [t["out"] for t in self._chunk_tasks
+                     + self._ready_chunked if t.get("out") is not None]
+            outs += [d[3] for d in self._deferred]
+        while True:
+            try:
+                outs.append(self._pending.get_nowait()[3])
+            except queue.Empty:
+                break
+        for out in outs:
+            out.put(sent)
+
+    def _loop_inner(self):
         while not self._stop:
             if (not self._pending.empty() or self._deferred
                     or self._finished or self._ready_chunked):

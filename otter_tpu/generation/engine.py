@@ -17,6 +17,7 @@ Vision latents are encoded once per call and reused every step (the
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
@@ -55,8 +56,8 @@ def _cache_name(dtype) -> str:
 
 
 def select_cache_dtype(params, text_cfg, batch: int, cache_len: int,
-                       requested, *, hbm_bytes: float = 16e9,
-                       headroom_bytes: float = 3.0e9) -> Any:
+                       requested, *, hbm_bytes: Optional[float] = None,
+                       headroom_bytes: Optional[float] = None) -> Any:
     """Degrade-not-die KV-cache precision (round 5, VERDICT r4 #1b).
 
     A serving engine asked for a (batch, cache_len, cache_dtype) whose
@@ -75,14 +76,28 @@ def select_cache_dtype(params, text_cfg, batch: int, cache_len: int,
     Returns the requested dtype unchanged when it fits.
 
     headroom_bytes covers execution temps (prefill logits, loop
-    buffers, Mosaic scratch): calibrated on the 7B bench config, whose
-    b8/L2048 int8 run (params 8.71 + cache 4.43 = 13.14 GB static on a
-    15.75 GB chip) compiled but died on first execution — so temps
-    exceed 2.6 GB there and 3.0 GB is the empirical floor that flips
-    that config to int4 while keeping b4/L2048 and b8/L1024 (10.9 GB
-    static, measured running clean) on int8."""
+    buffers, Mosaic scratch) AND whatever slice of HBM the runtime
+    itself holds back. Empirically this edge MOVES between sessions on
+    the tunneled worker: in round 4 the 7B engine ran clean at
+    11.1 GB static (b8/L1024 int8 cache, 554 tok/s) and died at
+    13.1 GB; in round 5 the SAME round-4 code dies at 11.1 GB static
+    while 10.0 GB (b8/L1024 int4 cache, 385 tok/s measured) runs —
+    about 2 GB of usable HBM vanished with zero code change (verified
+    by rerunning the r4 commit in a worktree). The default headroom is
+    therefore calibrated to the WORST observed edge (5.0 GB flips
+    11.1 GB-static configs down one rung), because a degrade that
+    triggers a step early costs quality margin while one that triggers
+    a step late kills the worker. Operators with a dedicated chip can
+    reclaim the difference via OTTER_HBM_BYTES / OTTER_HBM_HEADROOM
+    (bytes; both read at call time) or the engine's hbm_bytes arg."""
     if jax.default_backend() != "tpu":
         return requested
+    env_hbm = os.environ.get("OTTER_HBM_BYTES")
+    env_head = os.environ.get("OTTER_HBM_HEADROOM")
+    if hbm_bytes is None:
+        hbm_bytes = float(env_hbm) if env_hbm else 16e9
+    if headroom_bytes is None:
+        headroom_bytes = float(env_head) if env_head else 5.0e9
     name = _cache_name(requested)
     budget = hbm_bytes - headroom_bytes - _tree_bytes(params)
     ladder = _LADDER[_LADDER.index(name):]
@@ -128,7 +143,8 @@ def left_pad(lang_x: np.ndarray, attention_mask: Optional[np.ndarray],
 
 class OtterGenerator:
     def __init__(self, model: OtterVLM, params, cfg: OtterConfig,
-                 cache_dtype=jnp.bfloat16, hbm_bytes: float = 16e9,
+                 cache_dtype=jnp.bfloat16,
+                 hbm_bytes: Optional[float] = None,
                  cache_degrade: bool = True):
         self.model = model
         self.params = params
@@ -163,9 +179,12 @@ class OtterGenerator:
         positions = jnp.clip(
             jnp.cumsum(attention_mask, axis=-1) - 1, 0, None).astype(jnp.int32)
         kw = {} if vision_mask is None else {"vision_mask": vision_mask}
+        # head_last_only: prefill needs only the next-token logits; the
+        # full [B, P, V] array is wasted lm_head FLOPs on the TTFT path
+        # and real HBM at large vocabs (see Decoder docstring)
         logits, cache, vis_latents = self.model.apply(
             params, vision_x, lang_x, attention_mask=attention_mask,
-            positions=positions, cache=cache, **kw)
+            positions=positions, cache=cache, head_last_only=True, **kw)
         return logits[:, -1], cache, vis_latents
 
     def _step(self, params, tok, cache, cache_pos, kv_valid, positions,

@@ -102,7 +102,7 @@ class ChatSession:
                 ).astype(jnp.int32)
                 logits, cache, lat = self.model.apply(
                     params, vision_x, lang_x, attention_mask=mask,
-                    positions=positions, cache=cache)
+                    positions=positions, cache=cache, head_last_only=True)
                 return logits[:, -1], cache, lat
 
             self._fns[key] = jax.jit(prefill)

@@ -597,13 +597,23 @@ class Decoder(nn.Module):
                  vis_latents=None, xattn_q_ids=None, xattn_kv_ids=None,
                  xattn_out_keep=None,
                  cache=None, cache_pos=None, kv_valid=None,
-                 output_hidden=False, skip_head=False):
+                 output_hidden=False, skip_head=False,
+                 head_last_only=False):
         """Returns (logits [B, S, V], new_cache or None); with
         output_hidden=True also the final hidden states (for value heads);
         with skip_head=True returns the final-norm hidden states in place
         of logits WITHOUT the vocab projection (the fused-CE training path
         computes chunked logits against the head weights itself so the
         [B,S,V] array is never materialized).
+
+        head_last_only=True applies the vocab head to the LAST position
+        only (logits [B, 1, V]) — the prefill paths of every generation
+        engine need only the next-token logits, and materializing the
+        full [B, S, V] prefill logits is real HBM at large vocabs (Fuyu's
+        262k vocab x a 2356-token full-HD prompt is a 2.5 GB f32 array;
+        it OOMs next to the 8B's params at the measured usable-HBM edge —
+        BENCH_NOTES round-5 HBM-drift note) and real lm_head FLOPs (S x
+        the decode cost) on the TTFT path.
 
         Prefill/training: cache=None (training) or a preallocated cache with
         cache_pos=None (prefill writes at offset 0). Decode: cache_pos set,
@@ -625,9 +635,23 @@ class Decoder(nn.Module):
         from otter_tpu.parallel.mesh import (DATA_AXIS, FSDP_AXIS, SEQ_AXIS,
                                              maybe_shard)
         c = self.cfg
-        embed = nn.Embed(c.total_vocab, c.hidden_size,
-                         dtype=self.dtype, name="wte")
-        x = embed(input_ids)
+        if c.quant_embed:
+            # int8 embedding table with per-token-row scales: a residency
+            # lever for big-vocab untied models (see TextConfig.quant_embed)
+            assert not c.tie_embeddings, \
+                "quant_embed requires untied embeddings (the tied head " \
+                "would re-read the quantized table at matmul precision)"
+            wte_q = self.param("wte_q", nn.initializers.zeros,
+                               (c.total_vocab, c.hidden_size), jnp.int8)
+            wte_s = self.param("wte_s", nn.initializers.ones,
+                               (c.total_vocab,), jnp.float32)
+            x = (jnp.take(wte_q, input_ids, axis=0).astype(self.dtype)
+                 * jnp.take(wte_s, input_ids, axis=0)[..., None]
+                 .astype(self.dtype))
+        else:
+            embed = nn.Embed(c.total_vocab, c.hidden_size,
+                             dtype=self.dtype, name="wte")
+            x = embed(input_ids)
         if merge_embeds is not None:
             values, vmask = merge_embeds
             x = jnp.where(vmask[..., None], values.astype(x.dtype), x)
@@ -783,6 +807,9 @@ class Decoder(nn.Module):
 
         if skip_head:
             return x, new_cache
+        if head_last_only:
+            x = x[:, -1:]
+            s = 1
         if c.tie_embeddings:
             logits = embed.attend(x)
         else:

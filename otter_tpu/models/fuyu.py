@@ -33,7 +33,8 @@ class FuyuVLM(nn.Module):
     @nn.compact
     def __call__(self, input_ids, *, image_patches=None,
                  image_patches_indices=None, attention_mask=None,
-                 positions=None, cache=None, cache_pos=None, kv_valid=None):
+                 positions=None, cache=None, cache_pos=None, kv_valid=None,
+                 head_last_only=False):
         """input_ids [B, S]; image_patches [B, P, patch_size²·C] f32;
         image_patches_indices [B, S] int32 (-1 = text token, >=0 = index
         into image_patches). Returns (logits, new_cache)."""
@@ -52,7 +53,7 @@ class FuyuVLM(nn.Module):
                                     name="language_model")(
             input_ids, merge_embeds=merge, attention_mask=attention_mask,
             positions=positions, cache=cache, cache_pos=cache_pos,
-            kv_valid=kv_valid)
+            kv_valid=kv_valid, head_last_only=head_last_only)
         return logits, new_cache
 
 

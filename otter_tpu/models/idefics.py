@@ -215,7 +215,7 @@ class IdeficsVLM(nn.Module):
                  attend_previous: bool = True, vis_latents=None,
                  cache=None, cache_pos=None, kv_valid=None, positions=None,
                  media_counts=None, image_attention_mask=None,
-                 vision_mask=None):
+                 vision_mask=None, head_last_only=False):
         c = self.cfg
         t = c.text
 
@@ -290,6 +290,10 @@ class IdeficsVLM(nn.Module):
         new_cache = cur_cache if cache is not None else None
 
         x = RMSNormModule(eps=t.norm_eps, dtype=self.dtype, name="norm_f")(x)
+        if head_last_only:
+            # prefill paths need only the next-token logits (see
+            # Decoder.head_last_only)
+            x = x[:, -1:]
         # decoupled lm_head (IdeficsDecoupledLinear)
         logits = nn.Dense(t.vocab_size, use_bias=False, dtype=self.dtype,
                           name="lm_head")(x)

@@ -69,6 +69,7 @@ class OtterVLM(nn.Module):
                  cache=None, cache_pos=None, kv_valid=None,
                  positions=None,
                  media_counts=None, vision_mask=None, skip_head=False,
+                 head_last_only=False,
                  xattn_ids=None, prefix_mask=None, sequence_id=None):
         """Full forward. If `vis_latents` is given, `vision_x` is ignored
         (the `use_cached_vision_x` behavior, modeling_otter.py:925-936).
@@ -111,7 +112,7 @@ class OtterVLM(nn.Module):
             vis_latents=vis_latents, xattn_q_ids=q_ids, xattn_kv_ids=kv_ids,
             xattn_out_keep=out_keep,
             cache=cache, cache_pos=cache_pos, kv_valid=kv_valid,
-            skip_head=skip_head)
+            skip_head=skip_head, head_last_only=head_last_only)
         return logits, new_cache, vis_latents
 
 

@@ -184,6 +184,10 @@ def _dispatch(args, lengths, starts, *, layer, L, h, d, d_kv, block_k,
     block-skipping path. Only engaged when the full-row blocks fit the
     VMEM budget (int8/int4 caches; bf16 at L>=2048 with bias needs 8
     sublanes x 4 MB blocks and stays blocked)."""
+    import os
+    if dispatch_full is None and \
+            os.environ.get("OTTER_DECODE_FULLCACHE") == "0":
+        dispatch_full = False   # A/B lever for the runtime fast path
     full_bh = None
     if dispatch_full is not False and L // block_k >= 2:
         itemsize = kv_itemsize

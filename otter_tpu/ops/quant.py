@@ -448,6 +448,27 @@ def quantize_params(params: Any,
     return traverse_util.unflatten_dict(out, sep="/")
 
 
+def quantize_embed(params: Any) -> Any:
+    """Replace `.../wte/embedding` leaves with the decoder's quant_embed
+    layout: `wte_q` [V, H] int8 + `wte_s` [V] f32 per-token-row scales
+    (symmetric max-abs per row). One-time load transform for
+    `TextConfig(quant_embed=True)` — a residency lever for big-vocab
+    untied tables (Fuyu's 262k-vocab bf16 wte is 2.15 GB)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for k, v in flat.items():
+        if k.endswith("wte/embedding"):
+            w = np.asarray(v, np.float32)                     # [V, H]
+            scale = np.maximum(np.abs(w).max(axis=1), 1e-12) / 127.0
+            q = np.clip(np.rint(w / scale[:, None]), -127, 127)
+            base = k[: -len("wte/embedding")]
+            out[base + "wte_q"] = jnp.asarray(q, jnp.int8)
+            out[base + "wte_s"] = jnp.asarray(scale, jnp.float32)
+        else:
+            out[k] = v
+    return traverse_util.unflatten_dict(out, sep="/")
+
+
 def add_fused_wqo(params: Any) -> Any:
     """Add the decode megakernel's fused [Wqkv | Wo] leaves
     (`attn/wqo_q` [d, 4d] int8, `attn/wqo_scale` [4d]) next to each

@@ -703,3 +703,30 @@ def test_spec_adaptive_off_pins_gamma(rng):
         batcher.shutdown()
     assert got[: len(expected)] == expected, (got, expected)
     assert list(st["spec"]["iter_time_ema_s"]) in ([], ["spec_gamma2"]), st
+
+
+def test_scheduler_failure_fails_streams_instead_of_hanging(rng):
+    """A scheduler-thread exception must surface on every consumer
+    stream (RuntimeError with the original cause chained), not silently
+    kill the thread and leave `out.get()` blocked forever — the failure
+    mode a missing model kwarg produced before round 5."""
+    cfg, model, params, vx, ids = _tiny(rng)
+    batcher = ContinuousBatcher(model, params, cfg, num_slots=2,
+                                cache_len=64, buckets=(16,),
+                                cache_dtype=jnp.float32)
+
+    def boom(*a, **k):
+        raise ValueError("injected scheduler fault")
+
+    batcher._step = boom
+    try:
+        stream = batcher.submit(vx, ids, GenerationConfig(max_new_tokens=4))
+        with pytest.raises(RuntimeError, match="scheduler thread"):
+            list(stream)
+        assert isinstance(batcher._failure, ValueError)
+        # subsequent submits fail fast instead of enqueueing into a dead
+        # scheduler
+        with pytest.raises(RuntimeError, match="scheduler thread"):
+            batcher.submit(vx, ids, GenerationConfig(max_new_tokens=4))
+    finally:
+        batcher.shutdown()

@@ -230,3 +230,34 @@ def test_fused_layer_tail_matches_unfused(rng):
     y_big, _ = layer.apply(params, x_big, **kwargs_big)
     np.testing.assert_allclose(np.asarray(y_fused[0]), np.asarray(y_big[0]),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_quant_embed_matches_bf16_rows():
+    """quantize_embed + TextConfig(quant_embed=True) reproduces the bf16
+    embedding path within int8 row-quantization error (the table is a
+    residency lever: values must survive the round trip, traffic/shape
+    semantics are unchanged)."""
+    import numpy as np
+    from otter_tpu.config import FuyuConfig
+    from otter_tpu.models.decoder import Decoder
+    from otter_tpu.ops.quant import quantize_embed
+
+    t = FuyuConfig().text.replace(
+        num_hidden_layers=1, hidden_size=64, num_attention_heads=4,
+        intermediate_size=128, vocab_size=128, max_seq_len=64)
+    assert not t.tie_embeddings
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 120, (2, 6)), jnp.int32)
+
+    dec = Decoder(t, dtype=jnp.float32)
+    params = dec.init(jax.random.PRNGKey(0), ids)
+    # give the embedding real values (init is normal already; scale up)
+    ref, _ = dec.apply(params, ids)
+
+    qdec = Decoder(t.replace(quant_embed=True), dtype=jnp.float32)
+    qparams = quantize_embed(params)
+    got, _ = qdec.apply(qparams, ids)
+
+    err = float(jnp.max(jnp.abs(got - ref)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.02, (err, scale)

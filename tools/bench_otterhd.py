@@ -27,12 +27,23 @@ def main():
     from otter_tpu.runtime.timing import enable_compile_cache
 
     enable_compile_cache()
-    res = sys.argv[1] if len(sys.argv) > 1 else "1080x1920"
+    args = sys.argv[1:]
+    res = args[0] if args and "x" in args[0] and args[0][0].isdigit() \
+        else "1080x1920"
     H, W = (int(v) for v in res.lower().split("x"))
-    dk = "auto" if "einsum" not in sys.argv[2:] else False
+    dk = "auto" if "einsum" not in args else False
+    # --cache-bit int8|int4 quantizes the KV cache; --quant-embed stores
+    # the 262k-vocab wte as int8 rows. Both are RESIDENCY levers: at
+    # today's usable-HBM edge the bf16 cache + bf16 wte put the 8B decode
+    # into the thrash zone (BENCH_NOTES round-5 HBM-drift note).
+    cache_bit = args[args.index("--cache-bit") + 1] \
+        if "--cache-bit" in args else "bf16"
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": "int8",
+                   "int4": "int4"}[cache_bit]
+    qe = "--quant-embed" in args
     cfg = FuyuConfig()
-    cfg = cfg.replace(text=cfg.text.replace(quant="int8",
-                                            decode_kernel=dk))
+    cfg = cfg.replace(text=cfg.text.replace(quant="int8", decode_kernel=dk,
+                                            quant_embed=qe))
     ps = cfg.patch_size
     rows, cols = -(-H // ps), -(-W // ps)
     n_patches = rows * cols
@@ -72,11 +83,15 @@ def main():
 
     @jax.jit
     def prefill(params, ids, patches, indices, mask):
-        cache = init_cache(cfg.text, 1, L, jnp.bfloat16)
+        cache = init_cache(cfg.text, 1, L, cache_dtype)
+        # head_last_only: the full [1, S, 262k] f32 prefill logits are
+        # 2.5 GB — over the measured usable-HBM edge next to the 8B's
+        # params (BENCH_NOTES round-5 HBM-drift note), and serving only
+        # needs the next-token row anyway
         logits, cache = model.apply(
             params, ids, image_patches=patches,
             image_patches_indices=indices, attention_mask=mask,
-            positions=positions, cache=cache)
+            positions=positions, cache=cache, head_last_only=True)
         return jnp.argmax(logits[:, -1], -1), cache
 
     def timed(f, n=3):
@@ -91,12 +106,18 @@ def main():
     t_pre = timed(lambda: np.asarray(
         prefill(params, lang_x, patches, indices, mask)[0])) * 1e3
 
-    # decode: fori_loop of cached steps, marginal
-    _, cache0 = prefill(params, lang_x, patches, indices, mask)
+    # decode: fori_loop of cached steps, marginal. The cache is DONATED
+    # and re-created per timed call: an un-donated loop carry doubles
+    # the 1.5 GB cache footprint (OOM at today's usable-HBM edge —
+    # BENCH_NOTES round-5 HBM-drift note), and a known-zeros in-jit
+    # cache triggers XLA's DUS->pad+copy rewrite (full cache copies per
+    # step). Zeros are throughput-identical: decode reads the same
+    # cache_len-static bytes regardless of values.
+    import functools
     kv_valid = jnp.arange(L)[None, :] < s
 
     def build(n):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2,))
         def run(params, tok, cache):
             def body(i, carry):
                 tok, cache = carry
@@ -106,14 +127,21 @@ def main():
                     positions=jnp.full((1, 1), s, jnp.int32))
                 return (jnp.argmax(logits[:, -1:], -1).astype(jnp.int32),
                         cache)
-            tok, _ = lax.fori_loop(0, n, body, (tok, cache))
-            return tok
-        return lambda: np.asarray(run(params, jnp.zeros((1, 1), jnp.int32),
-                                      cache0))
+            # the cache is RETURNED so donation can alias it
+            # input->output (donation only reuses buffers for outputs;
+            # a dropped carry gets its own copy)
+            return lax.fori_loop(0, n, body, (tok, cache))
+
+        def f():
+            cache = init_cache(cfg.text, 1, L, cache_dtype)
+            tok, _ = run(params, jnp.zeros((1, 1), jnp.int32), cache)
+            return np.asarray(tok)
+        return f
 
     t1, tn = timed(build(1)), timed(build(21))
     step = (tn - t1) / 20
-    print(f"otterhd-8b int8 ({n_gb:.1f} GB params) {H}x{W} "
+    print(f"otterhd-8b int8 ({n_gb:.1f} GB params, {cache_bit} cache"
+          f"{', int8 wte' if qe else ''}) {H}x{W} "
           f"({n_patches} patches, seq {s}): prefill "
           f"{t_pre - RELAY_MS:.0f} ms, decode {1 / step:.1f} tok/s")
 

@@ -57,18 +57,34 @@ def main():
     kv_valid = jnp.asarray(np.arange(L)[None, :] < s).repeat(b, 0)
     pos = jnp.full((b, 1), s, jnp.int32)
 
-    for name, t in variants:
+    # each variant runs in its own function scope so its ~10 GB of
+    # params (and the jit executables whose closures hold them) are
+    # actually freed before the next variant allocates — a loop that
+    # rebinds `params` frees the OLD tree only after the NEW one exists,
+    # which is fatal at today's usable-HBM edge
+    def run_variant(name, t):
         dec = Decoder(t, dtype=jnp.bfloat16)
-        cache = init_cache(t, b, L, jnp.bfloat16)
+        cache_shapes = jax.eval_shape(
+            lambda: init_cache(t, b, L, jnp.bfloat16))
         shapes = jax.eval_shape(dec.init, jax.random.PRNGKey(0), ids1,
-                                cache=cache, cache_pos=s, kv_valid=kv_valid,
-                                positions=pos)
+                                cache=cache_shapes, cache_pos=s,
+                                kv_valid=kv_valid, positions=pos)
         params = jax.tree_util.tree_map(
             lambda sh: jnp.zeros(sh.shape, sh.dtype if not jnp.issubdtype(
                 sh.dtype, jnp.floating) else jnp.bfloat16), shapes)
+        gb = sum(x.size * x.dtype.itemsize
+                 for x in jax.tree_util.tree_leaves(params)) / 1e9
 
-        def build(n):
-            @jax.jit
+        def build(n, t=t, dec=dec, params=params):
+            # the cache is DONATED and re-created per timed call: an
+            # un-donated loop carry doubles the 1.5 GB footprint (OOM at
+            # today's usable-HBM edge, BENCH_NOTES round-5 HBM-drift
+            # note), and building it inside the jit from zeros is worse —
+            # XLA rewrites the known-zeros cache DUSes into full-cache
+            # pad+copy temps (measured 517 ms/step of pure cache copies)
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(2,))
             def run(params, tok, cache):
                 def body(i, carry):
                     tok, cache = carry
@@ -77,13 +93,24 @@ def main():
                                            positions=pos, skip_head=True)
                     nxt = (jnp.sum(out[:, -1:], -1).astype(jnp.int32) % 7)
                     return nxt, cache
-                tok, _ = lax.fori_loop(0, n, body, (tok, cache))
-                return tok
-            return lambda: np.asarray(run(params, ids1, cache))
+                # the cache is RETURNED so donation can alias it
+                # input->output (donation only reuses buffers for
+                # outputs; a dropped carry gets its own copy)
+                return lax.fori_loop(0, n, body, (tok, cache))
+
+            def f():
+                cache = init_cache(t, b, L, jnp.bfloat16)
+                tok, _ = run(params, ids1, cache)
+                return np.asarray(tok)
+            return f
 
         ms = _marginal(build, 21) * 1e3
-        print(f"{name:24s}: {ms:7.2f} ms/step", flush=True)
-        del params, cache
+        print(f"{name:24s}: {ms:7.2f} ms/step  (params {gb:.1f} GB)",
+              flush=True)
+
+    for name, t in variants:
+        run_variant(name, t)
+        jax.clear_caches()   # drop executables holding param refs
 
     # cache-write probe: the per-layer k/v DUS pair in isolation
     t = base
