@@ -561,6 +561,8 @@ def _run_fuyu_worker(args):
         # persimmon's biased ffn has no fused int4 path; int4 degrades
         # gracefully to int8 (quantize_params_int4 skips biased kernels)
         cfg = cfg.replace(text=cfg.text.replace(quant=args.load_bit))
+    if getattr(args, "quant_embed", False):
+        cfg = cfg.replace(text=cfg.text.replace(quant_embed=True))
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     processor = FuyuProcessor(
         tokenizer, FuyuImageProcessor(patch_size=cfg.patch_size),
@@ -577,6 +579,9 @@ def _run_fuyu_worker(args):
         qfn = (quantize_params_int4 if args.load_bit == "int4"
                else quantize_params)
         params = {"params": qfn(params["params"])}
+    if getattr(args, "quant_embed", False):
+        from otter_tpu.ops.quant import quantize_embed
+        params = {"params": quantize_embed(params["params"])}
     resolution = None
     if args.fuyu_resolution:
         h, w = args.fuyu_resolution.lower().split("x")
@@ -649,6 +654,14 @@ def main():
                         " scales, in-kernel dequant): half the cache HBM"
                         " read per decode step at long contexts; int4"
                         " nibble-packs head-dim pairs (quarter the read)")
+    p.add_argument("--quant-embed", action="store_true",
+                   help="store the embedding TABLE as int8 rows "
+                        "(untied-embedding families, e.g. fuyu/otterhd:"
+                        " the 262k-vocab bf16 wte is 2.15 GB of pure"
+                        " residency). Chip-measured: keeps OtterHD-8B"
+                        " full-HD decode out of the single-chip HBM"
+                        " thrash zone — 79.0 tok/s vs 1.9 without"
+                        " (BENCH_NOTES round-5 OtterHD table)")
     p.add_argument("--session-cache", type=int, default=0, metavar="N",
                    help="keep up to N per-conversation KV caches between "
                         "turns (requests carrying a session_id only "
